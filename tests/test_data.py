@@ -1,0 +1,111 @@
+"""Dataset / batching / augmentation tests over a synthetic KITTI dir."""
+
+import os
+
+import numpy as np
+import pytest
+
+from voxelnet_tpu.data.augment import augment_pointcloud, rotated_iou_2d
+from voxelnet_tpu.data.dataset import KITTIDataset, collate, make_batch_iterator
+from voxelnet_tpu.utils import geometry
+
+LABEL = (
+    "Car 0.00 0 -1.58 587.01 173.33 614.12 200.12 1.65 1.67 3.64 "
+    "-0.65 1.71 46.70 -1.59\n"
+)
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    for sub in ("velodyne", "label_2", "image_2"):
+        os.makedirs(root / sub)
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        pts = np.concatenate([
+            rng.uniform([0, -6.4, -3], [12.8, 6.4, 1], (3000, 3)),
+            rng.uniform(0, 1, (3000, 1))], axis=1).astype(np.float32)
+        pts.tofile(root / "velodyne" / f"{i:06d}.bin")
+        (root / "label_2" / f"{i:06d}.txt").write_text(LABEL)
+        (root / "image_2" / f"{i:06d}.png").write_bytes(b"")
+    return str(root)
+
+
+def test_dataset_basic(kitti_dir, tiny_config):
+    ds = KITTIDataset(kitti_dir, tiny_config)
+    assert len(ds) == 5
+    ex = ds[0]
+    assert ex.points.shape == (tiny_config.data.max_points, 4)
+    assert int(ex.num_points) == min(3000, tiny_config.data.max_points)
+    assert ex.gt_boxes.shape == (tiny_config.data.max_gt_boxes, 7)
+    assert ex.gt_mask.sum() == 1
+    # GT converted to lidar coordinates
+    cam = np.array([[-0.65, 1.71, 46.70, 1.65, 1.67, 3.64, -1.59]])
+    expect = geometry.camera_to_lidar_boxes(cam)[0]
+    np.testing.assert_allclose(ex.gt_boxes[0], expect, atol=1e-4)
+
+
+def test_collate_and_iterator(kitti_dir, tiny_config):
+    ds = KITTIDataset(kitti_dir, tiny_config)
+    batches = list(make_batch_iterator(ds, batch_size=2, shuffle=True,
+                                       seed=1))
+    assert len(batches) == 2  # 5 // 2, remainder dropped
+    b = batches[0]
+    assert b["points"].shape == (2, tiny_config.data.max_points, 4)
+    assert b["gt_boxes"].shape == (2, tiny_config.data.max_gt_boxes, 7)
+    assert len(b["tags"]) == 2
+
+    padded = list(make_batch_iterator(ds, batch_size=2, shuffle=False,
+                                      drop_remainder=False))
+    assert len(padded) == 3  # tail wrapped
+
+
+def test_host_voxelize_mode(kitti_dir, tiny_config):
+    ds = KITTIDataset(kitti_dir, tiny_config, host_voxelize=True)
+    ex = ds[1]
+    assert ex.voxel_features.shape == (
+        tiny_config.data.max_voxels, tiny_config.object.points_per_voxel, 7)
+    batch = collate([ds[0], ds[1]])
+    assert batch["voxel_features"].shape[0] == 2
+
+
+def test_augmentation_modes():
+    rng_pts = np.random.default_rng(0)
+    pts = np.concatenate([
+        rng_pts.uniform([0, -40, -3], [70.4, 40, 1], (2000, 3)),
+        rng_pts.uniform(0, 1, (2000, 1))], axis=1).astype(np.float32)
+    gt_cam = np.array([[-0.65, 1.71, 46.70, 1.65, 1.67, 3.64, -1.59]],
+                      np.float32)
+    seen = set()
+    for seed in range(12):
+        out_pts, out_gt, tag = augment_pointcloud(
+            pts, gt_cam, np.random.default_rng(seed))
+        seen.add(tag.split("_")[1])
+        assert out_pts.shape == pts.shape
+        assert out_gt.shape == gt_cam.shape
+        assert np.isfinite(out_gt).all()
+    assert len(seen) >= 2  # multiple augmentation branches exercised
+
+
+def test_global_scaling_scales_boxes():
+    pts = np.array([[10.0, 0.0, -1.0, 0.5]] * 10, np.float32)
+    gt_cam = geometry.lidar_to_camera_boxes(
+        np.array([[10.0, 0.0, -1.0, 1.5, 1.6, 3.9, 0.0]])).astype(np.float32)
+    # choice < 4 -> scaling branch; find a seed deterministically
+    for seed in range(50):
+        rng = np.random.default_rng(seed)
+        if np.random.default_rng(seed).integers(0, 10) < 4:
+            out_pts, out_gt, tag = augment_pointcloud(pts, gt_cam, rng)
+            assert tag.startswith("aug_3")
+            factor = out_pts[0, 0] / 10.0
+            lidar = geometry.camera_to_lidar_boxes(out_gt)
+            assert lidar[0, 0] == pytest.approx(10.0 * factor, rel=1e-3)
+            return
+    pytest.fail("no scaling seed found")
+
+
+def test_rotated_iou_2d_host():
+    a = np.array([0.0, 0.0, 2.0, 4.0, 0.0])
+    assert rotated_iou_2d(a, a) == pytest.approx(1.0)
+    b = np.array([10.0, 0.0, 2.0, 4.0, 0.3])
+    assert rotated_iou_2d(a, b) == 0.0

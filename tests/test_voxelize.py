@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelnet_tpu.config import get_config
+from voxelnet_tpu.ops.voxelize import (
+    VoxelGridSpec, pad_points, voxelize_batch_jax, voxelize_jax, voxelize_np)
+
+
+@pytest.fixture(scope="module")
+def car_spec():
+    return VoxelGridSpec.from_object_config(get_config("Car").object)
+
+
+def _cloud(n=4000, seed=0, spread=False):
+    rng = np.random.default_rng(seed)
+    lo, hi = ([0, -40, -3], [70.4, 40, 1]) if not spread else (
+        [-120, -120, -30], [120, 120, 30])
+    return np.concatenate([
+        rng.uniform(lo, hi, (n, 3)),
+        rng.uniform(0, 1, (n, 1)),
+    ], axis=1).astype(np.float32)
+
+
+def test_np_semantics_point_order_cap(car_spec):
+    # three points in one voxel with T=2 keeps the first two in order
+    spec = car_spec._replace(max_points_per_voxel=2)
+    pts = np.array([
+        [1.05, 0.05, -1.0, 0.1],
+        [1.07, 0.07, -1.0, 0.2],
+        [1.08, 0.08, -1.0, 0.3],
+        [30.0, 10.0, 0.0, 0.4],
+    ], np.float32)
+    v = voxelize_np(pts, spec)
+    assert v.num_voxels == 2
+    counts = {tuple(c): n for c, n in zip(v.coords, v.counts)}
+    assert sorted(counts.values()) == [1, 2]
+    # the capped voxel stored the first two points (reflectance 0.1, 0.2)
+    k = int(np.argmax(v.counts == 2))
+    np.testing.assert_allclose(sorted(v.features[k, :2, 3]), [0.1, 0.2])
+
+
+def test_np_centroid_offsets(car_spec):
+    pts = np.array([
+        [1.02, 0.02, -1.05, 0.5],
+        [1.10, 0.06, -1.15, 0.5],
+    ], np.float32)
+    v = voxelize_np(pts, car_spec)
+    assert v.num_voxels == 1
+    centroid = pts[:, :3].mean(axis=0)
+    np.testing.assert_allclose(
+        v.features[0, :2, 4:7], pts[:, :3] - centroid, atol=1e-5)
+    # padding rows are zero
+    np.testing.assert_allclose(v.features[0, 2:], 0.0)
+
+
+def test_np_out_of_range_dropped(car_spec):
+    pts = _cloud(1000, spread=True)
+    v = voxelize_np(pts, car_spec)
+    D, H, W = car_spec.grid_dzyx
+    assert (v.coords[:, 0] < D).all() and (v.coords[:, 0] >= 0).all()
+    assert (v.coords[:, 1] < H).all()
+    assert (v.coords[:, 2] < W).all()
+
+
+def test_jax_matches_np(car_spec):
+    pts = _cloud(6000, seed=3, spread=True)
+    v_np = voxelize_np(pts, car_spec)
+    padded, n = pad_points(pts, 8192)
+    v_j = jax.jit(
+        lambda p, n: voxelize_jax(p, n, car_spec, 4096))(padded, n)
+    kj = int(v_j.num_voxels)
+    assert kj == v_np.num_voxels
+
+    cnt_np = {tuple(c): int(x) for c, x in zip(v_np.coords, v_np.counts)}
+    coords_j = np.asarray(v_j.coords)[:kj]
+    counts_j = np.asarray(v_j.counts)[:kj]
+    cnt_j = {tuple(c): int(x) for c, x in zip(coords_j, counts_j)}
+    assert cnt_np == cnt_j
+
+    # per-voxel point sets identical (order-insensitive)
+    feats_j = np.asarray(v_j.features)[:kj]
+    index_np = {tuple(c): i for i, c in enumerate(map(tuple, v_np.coords))}
+    for i in range(kj):
+        j = index_np[tuple(coords_j[i])]
+        np.testing.assert_allclose(
+            np.sort(feats_j[i], axis=0),
+            np.sort(v_np.features[j], axis=0), atol=1e-4)
+
+
+def test_jax_max_voxel_overflow(car_spec):
+    pts = _cloud(6000, seed=4)
+    padded, n = pad_points(pts, 8192)
+    v = jax.jit(lambda p, n: voxelize_jax(p, n, car_spec, 64))(padded, n)
+    assert int(v.num_voxels) == 64
+    assert (np.asarray(v.counts) >= 0).all()
+    assert int(np.asarray(v.counts)[:64].sum()) > 0
+
+
+def test_jax_empty_cloud(car_spec):
+    padded = np.zeros((128, 4), np.float32)
+    v = jax.jit(
+        lambda p, n: voxelize_jax(p, n, car_spec, 32))(padded, np.int32(0))
+    assert int(v.num_voxels) == 0
+    assert int(np.asarray(v.counts).sum()) == 0
+
+
+def test_batch_voxelize(car_spec):
+    pts = np.stack([_cloud(2000, seed=s) for s in range(3)])
+    n = np.full((3,), 2000, np.int32)
+    v = jax.jit(
+        lambda p, n: voxelize_batch_jax(p, n, car_spec, 2048))(pts, n)
+    assert v.features.shape == (3, 2048, 35, 7)
+    assert v.coords.shape == (3, 2048, 3)
+    assert (np.asarray(v.num_voxels) > 0).all()
+
+
+def test_no_recompile_across_counts(car_spec):
+    """Static-shape contract: different point counts reuse the same trace."""
+    fn = jax.jit(lambda p, n: voxelize_jax(p, n, car_spec, 1024))
+    padded, _ = pad_points(_cloud(3000, 5), 4096)
+    fn(padded, np.int32(1000))
+    fn(padded, np.int32(3000))
+    assert fn._cache_size() == 1

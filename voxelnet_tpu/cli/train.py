@@ -1,0 +1,75 @@
+"""Training CLI.
+
+Usage parity with the reference `python train.py` (voxelnet/train.py:30-44)
+plus working --resume (the reference raises NotImplementedError).
+
+    python -m voxelnet_tpu.cli.train --data-dir /data/kitti/MD_KITTI \
+        [--cfg overrides.yaml] [--class-name Car] [--resume exps/.../checkpoints]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _apply_platform_override():
+    """VOXELNET_PLATFORM=cpu forces the JAX backend. Needed because some
+    TPU plugins ignore JAX_PLATFORMS, and a single chip is exclusive to one
+    process — CPU runs let tooling work alongside a training job."""
+    plat = os.environ.get("VOXELNET_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_apply_platform_override()
+
+from voxelnet_tpu.config import get_config
+from voxelnet_tpu.training.trainer import Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="KITTI root containing training/ and validation/")
+    p.add_argument("--cfg", type=str, default=None,
+                   help="YAML config override file")
+    p.add_argument("--class-name", type=str, default="Car",
+                   choices=("Car", "Pedestrian", "Cyclist"))
+    p.add_argument("--exp-base", type=str, default="exps")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume from")
+    p.add_argument("--print-interval", type=int, default=100)
+    p.add_argument("--summary-interval", type=int, default=100)
+    p.add_argument("--summary-val-interval", type=int, default=100)
+    args = p.parse_args(argv)
+
+    config = get_config(args.class_name)
+    if args.cfg:
+        config = config.merge_from_file(args.cfg)
+    if args.data_dir:
+        config = config.replace(
+            data=config.data.__class__(
+                **{**config.data.__dict__, "dir": args.data_dir}))
+    print(config.dump_yaml())
+
+    import os
+
+    trainer = Trainer(
+        config,
+        train_dir=os.path.join(config.data.dir, "training"),
+        val_dir=os.path.join(config.data.dir, "validation"),
+        exp_base=args.exp_base,
+        resume_from=args.resume,
+    )
+    trainer.train(
+        print_interval=args.print_interval,
+        summary_interval=args.summary_interval,
+        val_interval=args.summary_val_interval,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,313 @@
+"""Configuration system.
+
+Mirrors the key surface of the reference yacs config
+(reference: voxelnet/config.py:4-119) — SYSTEM / DATA / TRAIN / VAL / IMAGE /
+OBJECT / RPN / CALIB groups with per-class (Car / Pedestrian / Cyclist)
+presets and derived grid fields — but as frozen dataclasses with YAML
+override + snapshot-dump support, plus TPU-specific knobs the reference has
+no analog for (static-shape buckets, compute dtype, mesh axes, NMS mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Any, Mapping
+
+import numpy as np
+
+# Mean KITTI calibration matrices, used when a per-frame calib file is not
+# available (reference: voxelnet/config.py:101-119).
+_T_VELO_2_CAM = (
+    (7.49916597e-03, -9.99971248e-01, -8.65110297e-04, -6.71807577e-03),
+    (1.18652889e-02, 9.54520517e-04, -9.99910318e-01, -7.33152811e-02),
+    (9.99882833e-01, 7.49141178e-03, 1.18719929e-02, -2.78557062e-01),
+    (0.0, 0.0, 0.0, 1.0),
+)
+_R_RECT_0 = (
+    (0.99992475, 0.00975976, -0.00734152, 0.0),
+    (-0.0097913, 0.99994262, -0.00430371, 0.0),
+    (0.00729911, 0.0043753, 0.99996319, 0.0),
+    (0.0, 0.0, 0.0, 1.0),
+)
+_MATRIX_P2 = (
+    (719.787081, 0.0, 608.463003, 44.9538775),
+    (0.0, 719.787081, 174.545111, 0.1066855),
+    (0.0, 0.0, 1.0, 3.0106472e-03),
+    (0.0, 0.0, 0.0, 0.0),
+)
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    num_workers: int = 4
+    # JAX mesh axis names for data / model parallelism. A mesh of size 1 on
+    # either axis is free; the training step is written against these axes
+    # from day one.
+    mesh_axis_data: str = "data"
+    mesh_axis_model: str = "model"
+    num_data_shards: int = 1
+    num_model_shards: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dir: str = "/data/kitti/MD_KITTI"
+    calib_dir: str = "/data/kitti/KITTI/training/calib"
+    # Static-shape buckets (TPU: ragged point/voxel counts must map to a small
+    # fixed set of shapes so XLA never recompiles in steady state).
+    max_points: int = 65536       # N bucket: points fed to the voxelizer
+    max_voxels: int = 12288       # K bucket: occupied voxels kept per frame
+    max_gt_boxes: int = 64        # padded ground-truth boxes per frame
+    shuffle_points: bool = True   # reference shuffles before voxelizing
+                                  # (voxelnet/utils.py:35)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 2
+    num_workers: int = 8
+    lr: float = 0.01
+    lr_scheduler_step: int = 150      # epoch at which LR drops 10x
+    alpha: float = 1.5                # positive-class CE weight
+    beta: float = 1.0                 # negative-class CE weight
+    sigma: float = 3.0                # smooth-L1 transition sharpness
+    num_epochs: int = 10
+    gradient_clip: float = 5.0
+    augment: bool = False             # reference defines but disables
+                                      # augmentation (voxelnet/train.py:65,72)
+    seed: int = 0
+    # bfloat16 compute for conv/matmul heavy stages; params stay f32.
+    compute_dtype: str = "bfloat16"
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 1000      # reference keeps every epoch
+    debug_nans: bool = False          # jax_debug_nans toggle (sanitizer knob)
+
+
+@dataclass(frozen=True)
+class ValConfig:
+    batch_size: int = 2
+    num_workers: int = 4
+
+
+@dataclass(frozen=True)
+class ImageConfig:
+    width: int = 1242
+    height: int = 375
+    channels: int = 3
+
+
+@dataclass(frozen=True)
+class ObjectConfig:
+    """Per-class detection geometry (reference: voxelnet/config.py:35-92)."""
+
+    name: str = "Car"
+    z_min: float = -3.0
+    z_max: float = 1.0
+    y_min: float = -40.0
+    y_max: float = 40.0
+    x_min: float = 0.0
+    x_max: float = 70.4
+    z_voxel_size: float = 0.4
+    y_voxel_size: float = 0.2
+    x_voxel_size: float = 0.2
+    points_per_voxel: int = 35
+    feature_ratio: int = 2
+    anchor_l: float = 3.9
+    anchor_w: float = 1.6
+    anchor_h: float = 1.56
+    anchor_z: float = -1.0 - 1.56 / 2
+    rpn_pos_iou: float = 0.6
+    rpn_neg_iou: float = 0.45
+    anchors_per_cell: int = 2   # yaw 0 and 90 degrees
+
+    @property
+    def depth(self) -> int:
+        return int(round((self.z_max - self.z_min) / self.z_voxel_size))
+
+    @property
+    def height(self) -> int:
+        return int(round((self.y_max - self.y_min) / self.y_voxel_size))
+
+    @property
+    def width(self) -> int:
+        return int(round((self.x_max - self.x_min) / self.x_voxel_size))
+
+    @property
+    def feature_height(self) -> int:
+        return self.height // self.feature_ratio
+
+    @property
+    def feature_width(self) -> int:
+        return self.width // self.feature_ratio
+
+    @property
+    def grid_size(self) -> tuple[int, int, int]:
+        """(D, H, W) voxel grid extents in (z, y, x) order."""
+        return (self.depth, self.height, self.width)
+
+    @property
+    def voxel_size_zyx(self) -> tuple[float, float, float]:
+        return (self.z_voxel_size, self.y_voxel_size, self.x_voxel_size)
+
+    @property
+    def lidar_offset(self) -> tuple[float, float, float]:
+        """Shift applied to (x, y, z) so grid indices start at 0."""
+        return (-self.x_min, -self.y_min, -self.z_min)
+
+    @property
+    def num_anchors(self) -> int:
+        return self.feature_height * self.feature_width * self.anchors_per_cell
+
+
+def _car_object() -> ObjectConfig:
+    return ObjectConfig()
+
+
+def _pedestrian_object() -> ObjectConfig:
+    return ObjectConfig(
+        name="Pedestrian",
+        y_min=-20.0, y_max=20.0, x_min=0.0, x_max=48.0,
+        points_per_voxel=45,
+        anchor_l=0.8, anchor_w=0.6, anchor_h=1.73,
+        anchor_z=-0.6 - 1.73 / 2,
+        rpn_pos_iou=0.5, rpn_neg_iou=0.35,
+    )
+
+
+def _cyclist_object() -> ObjectConfig:
+    return ObjectConfig(
+        name="Cyclist",
+        y_min=-20.0, y_max=20.0, x_min=0.0, x_max=48.0,
+        points_per_voxel=45,
+        anchor_l=1.76, anchor_w=0.6, anchor_h=1.73,
+        anchor_z=-0.6 - 1.73 / 2,
+        rpn_pos_iou=0.5, rpn_neg_iou=0.35,
+    )
+
+
+OBJECT_PRESETS = {
+    "Car": _car_object,
+    "Pedestrian": _pedestrian_object,
+    "Cyclist": _cyclist_object,
+}
+
+
+@dataclass(frozen=True)
+class RPNConfig:
+    nms_post_topk: int = 20
+    nms_thres: float = 0.1
+    score_thres: float = 0.96
+    # Pre-NMS candidate cap — the static shape the on-device NMS runs over.
+    nms_pre_topk: int = 512
+    # 'rotated' = true rotated-BEV IoU NMS on device (upgrade over the
+    # reference's axis-aligned NMS, voxelnet/model.py:39-48);
+    # 'standup' = reference-parity axis-aligned NMS.
+    nms_mode: str = "rotated"
+
+
+@dataclass(frozen=True)
+class CalibConfig:
+    t_velo_2_cam: tuple = _T_VELO_2_CAM
+    r_rect_0: tuple = _R_RECT_0
+    matrix_p2: tuple = _MATRIX_P2
+
+    def T_VELO_2_CAM(self) -> np.ndarray:
+        return np.asarray(self.t_velo_2_cam, dtype=np.float64)
+
+    def R_RECT_0(self) -> np.ndarray:
+        return np.asarray(self.r_rect_0, dtype=np.float64)
+
+    def MATRIX_P2(self) -> np.ndarray:
+        return np.asarray(self.matrix_p2, dtype=np.float64)
+
+
+@dataclass(frozen=True)
+class CompatConfig:
+    """Documented deviations from reference bugs (SURVEY.md §2 quirks).
+
+    Each flag defaults to the *corrected* semantics; flipping one reproduces
+    the reference's buggy behavior for bit-level comparison.
+    """
+
+    # reference voxelnet/utils.py:217-225 emits zero-area anchor standup
+    # boxes (x2/y2 use '-' where '+' is needed).
+    buggy_anchor_standup: bool = False
+    # reference voxelnet/loss.py:9-10 multiplies the two smooth-L1 branch
+    # options instead of gating by sign.
+    buggy_smooth_l1: bool = False
+    # reference voxelnet/utils.py:344-373 adds +1 (pixel convention) to
+    # metric box extents when computing IoU.
+    iou_plus_one: bool = False
+    # reference voxelnet/model.py:74-76 batch-norms over padded points too.
+    bn_over_padding: bool = False
+
+
+@dataclass(frozen=True)
+class VoxelNetConfig:
+    system: SystemConfig = field(default_factory=SystemConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    val: ValConfig = field(default_factory=ValConfig)
+    image: ImageConfig = field(default_factory=ImageConfig)
+    object: ObjectConfig = field(default_factory=_car_object)
+    rpn: RPNConfig = field(default_factory=RPNConfig)
+    calib: CalibConfig = field(default_factory=CalibConfig)
+    compat: CompatConfig = field(default_factory=CompatConfig)
+
+    def replace(self, **kwargs) -> "VoxelNetConfig":
+        return replace(self, **kwargs)
+
+    # ---- serialization -------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def dump_yaml(self) -> str:
+        import yaml
+
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "VoxelNetConfig":
+        base = cls()
+        return _merge_dataclass(base, d)
+
+    def merge_from_file(self, path: str) -> "VoxelNetConfig":
+        import yaml
+
+        with open(path) as f:
+            overrides = yaml.safe_load(f) or {}
+        return _merge_dataclass(self, overrides)
+
+
+def _merge_dataclass(obj, overrides: Mapping[str, Any]):
+    """Recursively apply a nested dict of overrides to a frozen dataclass."""
+    updates = {}
+    field_names = {f.name for f in dataclasses.fields(obj)}
+    for key, value in overrides.items():
+        if key not in field_names:
+            raise KeyError(
+                f"Unknown config key {key!r} for {type(obj).__name__}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[key] = _merge_dataclass(current, value)
+        else:
+            updates[key] = value
+    return replace(obj, **updates)
+
+
+def get_config(class_name: str = "Car", **overrides) -> VoxelNetConfig:
+    """Build a config for one of the KITTI classes.
+
+    Analog of the reference's `get_cfg_defaults()`
+    (voxelnet/config.py:125-129) plus the class switch the reference bakes in
+    at import time (voxelnet/config.py:37-92).
+    """
+    if class_name not in OBJECT_PRESETS:
+        raise ValueError(
+            f"Unknown class {class_name!r}; expected one of "
+            f"{sorted(OBJECT_PRESETS)}")
+    cfg = VoxelNetConfig(object=OBJECT_PRESETS[class_name]())
+    if overrides:
+        cfg = _merge_dataclass(cfg, overrides)
+    return cfg

@@ -1,0 +1,155 @@
+"""KITTI dataset + static-shape batching.
+
+Capability parity with the reference's `KITTIDataset` / `collate_fn`
+(voxelnet/dataset.py:26-119) with the TPU-critical change: batches are
+fixed-shape numpy buffers, not ragged tensor lists. Each example carries
+
+  points     (N_max, 4) float32 + num_points    — voxelization runs on device
+  gt_boxes   (G_max, 7) lidar boxes + gt_mask   — target assignment on device
+  label lines / tag / paths                      — host-side eval & viz
+
+A host voxelization mode (`host_voxelize=True`) reproduces the reference's
+CPU pipeline for parity tests and CPU-bound environments.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from voxelnet_tpu.config import VoxelNetConfig
+from voxelnet_tpu.data import augment as augment_lib
+from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_np
+from voxelnet_tpu.utils import kitti
+
+
+@dataclass
+class Example:
+    tag: str
+    points: np.ndarray       # (N_max, 4)
+    num_points: np.int32
+    gt_boxes: np.ndarray     # (G_max, 7) lidar
+    gt_mask: np.ndarray      # (G_max,) bool
+    label_lines: list[str]
+    image_path: str | None = None
+    # host-voxelized buffers (only when host_voxelize=True)
+    voxel_features: np.ndarray | None = None   # (K_max, T, 7)
+    voxel_coords: np.ndarray | None = None     # (K_max, 3)
+    voxel_counts: np.ndarray | None = None     # (K_max,)
+
+
+class KITTIDataset:
+    """Index over a KITTI split dir with image_2/ velodyne/ label_2/."""
+
+    def __init__(self, data_dir: str, config: VoxelNetConfig,
+                 augment: bool = False, test: bool = False,
+                 host_voxelize: bool = False, seed: int = 0):
+        self.data_dir = data_dir
+        self.config = config
+        self.augment = augment
+        self.test = test
+        self.host_voxelize = host_voxelize
+        self.rng = np.random.default_rng(seed)
+        self.spec = VoxelGridSpec.from_object_config(config.object)
+
+        velo_dir = os.path.join(data_dir, "velodyne")
+        self.tags = sorted(
+            f[:-4] for f in os.listdir(velo_dir) if f.endswith(".bin"))
+        if not test:
+            label_dir = os.path.join(data_dir, "label_2")
+            label_tags = {f[:-4] for f in os.listdir(label_dir)
+                          if f.endswith(".txt")}
+            self.tags = [t for t in self.tags if t in label_tags]
+
+    def __len__(self) -> int:
+        return len(self.tags)
+
+    def _paths(self, tag: str):
+        return (
+            os.path.join(self.data_dir, "image_2", tag + ".png"),
+            os.path.join(self.data_dir, "velodyne", tag + ".bin"),
+            os.path.join(self.data_dir, "label_2", tag + ".txt"),
+        )
+
+    def __getitem__(self, idx: int) -> Example:
+        tag = self.tags[idx]
+        img_path, velo_path, label_path = self._paths(tag)
+        points = kitti.read_point_cloud(velo_path)
+
+        label_lines: list[str] = []
+        if not self.test and os.path.exists(label_path):
+            with open(label_path) as f:
+                label_lines = f.readlines()
+
+        if self.augment and label_lines:
+            gt_cam = kitti.parse_label_lines(label_lines, cls_name="",
+                                             coordinate="camera")
+            points, gt_cam, suffix = augment_lib.augment_pointcloud(
+                points, gt_cam, self.rng)
+            classes = kitti.parse_label_classes(label_lines)
+            label_lines = kitti.boxes_to_label_lines(
+                gt_cam, classes, coordinate="camera")
+            tag = f"{tag}_{suffix}"
+
+        gt_lidar = kitti.parse_label_lines(
+            label_lines, cls_name=self.config.object.name,
+            coordinate="lidar")
+        gt_boxes, gt_mask = kitti.pad_gt_boxes(
+            gt_lidar, self.config.data.max_gt_boxes)
+
+        if self.config.data.shuffle_points:
+            points = points[self.rng.permutation(len(points))]
+        n = min(len(points), self.config.data.max_points)
+        pts = np.zeros((self.config.data.max_points, 4), np.float32)
+        pts[:n] = points[:n]
+
+        ex = Example(
+            tag=tag, points=pts, num_points=np.int32(n),
+            gt_boxes=gt_boxes, gt_mask=gt_mask,
+            label_lines=label_lines, image_path=img_path,
+        )
+        if self.host_voxelize:
+            vox = voxelize_np(points[:n], self.spec,
+                              max_voxels=self.config.data.max_voxels)
+            ex.voxel_features = vox.features
+            ex.voxel_coords = vox.coords
+            ex.voxel_counts = vox.counts
+        return ex
+
+
+def collate(examples: list[Example]) -> dict:
+    """Stack Examples into fixed-shape arrays (device-ready)."""
+    batch = {
+        "tags": [e.tag for e in examples],
+        "points": np.stack([e.points for e in examples]),
+        "num_points": np.asarray([e.num_points for e in examples], np.int32),
+        "gt_boxes": np.stack([e.gt_boxes for e in examples]),
+        "gt_mask": np.stack([e.gt_mask for e in examples]),
+        "label_lines": [e.label_lines for e in examples],
+    }
+    if examples[0].voxel_features is not None:
+        batch["voxel_features"] = np.stack(
+            [e.voxel_features for e in examples])
+        batch["voxel_coords"] = np.stack([e.voxel_coords for e in examples])
+        batch["voxel_counts"] = np.stack([e.voxel_counts for e in examples])
+    return batch
+
+
+def make_batch_iterator(dataset: KITTIDataset, batch_size: int,
+                        shuffle: bool = True, seed: int = 0,
+                        drop_remainder: bool = True) -> Iterator[dict]:
+    """Epoch iterator of collated batches (pads the tail by wrapping)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n = len(order)
+    for start in range(0, n, batch_size):
+        idxs = order[start:start + batch_size]
+        if len(idxs) < batch_size:
+            if drop_remainder:
+                return
+            idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
+        yield collate([dataset[int(i)] for i in idxs])

@@ -1,0 +1,86 @@
+"""2D convolutional Region Proposal Network.
+
+Same topology as the reference RPN (voxelnet/model.py:202-281): three conv
+blocks (strides 2/2/2 for Car; 1/2/2 for Pedestrian/Cyclist) each deconvolved
+back to a common (H/2, W/2) map, concatenated to 768 channels, then 1x1
+cls/reg heads. TPU-native: NHWC, bfloat16 compute, heads return *logits*
+(sigmoid is applied by the caller or folded into the loss).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBNReLU(nn.Module):
+    cout: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.cout, kernel_size=(3, 3),
+                    strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class DeconvBNReLU(nn.Module):
+    cout: int
+    kernel: int
+    stride: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch ConvTranspose2d output size (in-1)*s - 2p + k:
+        # (k3, s1, p1) -> same size == flax 'SAME';
+        # (k2, s2, p0) / (k4, s4, p0) -> exact in*s == flax 'VALID'.
+        padding = "SAME" if self.stride == 1 else "VALID"
+        x = nn.ConvTranspose(
+            self.cout, kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding=padding,
+            dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class RPN(nn.Module):
+    """(B, H, W, 128) BEV -> cls logits (B, H/2, W/2, 2), reg (B, H/2, W/2, 14)."""
+
+    block1_stride: int = 2   # 2 for Car, 1 for Pedestrian/Cyclist
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # block 1: 5 convs at 128 channels (voxelnet/model.py:213-227)
+        x = ConvBNReLU(128, self.block1_stride, dtype=self.dtype)(x, train)
+        for _ in range(4):
+            x = ConvBNReLU(128, 1, dtype=self.dtype)(x, train)
+        up1 = DeconvBNReLU(256, kernel=3, stride=1, dtype=self.dtype)(x, train)
+
+        # block 2: 6 convs at 128 (voxelnet/model.py:231-238)
+        x = ConvBNReLU(128, 2, dtype=self.dtype)(x, train)
+        for _ in range(5):
+            x = ConvBNReLU(128, 1, dtype=self.dtype)(x, train)
+        up2 = DeconvBNReLU(256, kernel=2, stride=2, dtype=self.dtype)(x, train)
+
+        # block 3: 6 convs at 256 (voxelnet/model.py:242-249)
+        x = ConvBNReLU(256, 2, dtype=self.dtype)(x, train)
+        for _ in range(5):
+            x = ConvBNReLU(256, 1, dtype=self.dtype)(x, train)
+        up3 = DeconvBNReLU(256, kernel=4, stride=4, dtype=self.dtype)(x, train)
+
+        feats = jnp.concatenate([up3, up2, up1], axis=-1)  # 768 channels
+
+        cls_logits = nn.Conv(2, kernel_size=(1, 1), dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             name="prob_conv")(feats)
+        reg = nn.Conv(14, kernel_size=(1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="reg_conv")(feats)
+        return cls_logits.astype(jnp.float32), reg.astype(jnp.float32)

@@ -1,0 +1,163 @@
+"""The full VoxelNet detector as one flax module + jit-ready functions.
+
+Role of the reference's `RPN3D` (voxelnet/model.py:284-441) redesigned for
+TPU: the module is pure (no host round-trips, no loss coupled into forward);
+voxelization, target assignment, loss, decode and NMS are composed around it
+as jittable functions so that
+
+  * inference  = ONE jitted graph: points -> voxelize -> VFE -> dense ->
+                 middle -> RPN -> decode -> NMS  (no labels required — the
+                 reference needed a submodule side-door for that,
+                 predict.py:58-60)
+  * train step = ONE jitted graph: voxels -> forward -> on-device targets ->
+                 loss -> grads (the reference ran targets on the host every
+                 step, model.py:309).
+
+Note: the RPN first-block stride is 2 for every class. The reference uses
+stride 1 for Pedestrian/Cyclist (model.py:221-227), which makes its head
+output 2x the anchor grid and would break its own target shapes — a latent
+bug we do not carry (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelnet_tpu.config import VoxelNetConfig
+from voxelnet_tpu.models.middle import MiddleLayers
+from voxelnet_tpu.models.rpn import RPN
+from voxelnet_tpu.models.scatter import scatter_to_dense
+from voxelnet_tpu.models.vfe import FeatureLearningNet
+from voxelnet_tpu.ops import anchors as anchor_ops
+from voxelnet_tpu.ops import box_coding, nms
+from voxelnet_tpu.ops.voxelize import VoxelGridSpec, Voxels, voxelize_batch_jax
+
+
+class VoxelNet(nn.Module):
+    """features (B, K, T, 7), coords (B, K, 3), counts (B, K) ->
+    (cls_logits (B, H', W', 2), reg (B, H', W', 14)).
+
+    `spatial_shard=True` pins the dense grid / BEV maps to a
+    ('data', ..., 'model', channel) layout so the conv stages shard their W
+    axis over the 'model' mesh axis — XLA inserts the halo exchanges. This
+    is the spatial/context-parallel axis for this conv detector
+    (SURVEY.md §5); requires an active ('data', 'model') mesh.
+    """
+
+    grid_dzyx: tuple[int, int, int]
+    dtype: Any = jnp.bfloat16
+    bn_over_padding: bool = False
+    spatial_shard: bool = False
+
+    @nn.compact
+    def __call__(self, features, coords, counts, train: bool = False):
+        voxelwise = FeatureLearningNet(
+            dtype=self.dtype, bn_over_padding=self.bn_over_padding,
+            name="feature_net")(features, counts, train)
+        dense = scatter_to_dense(voxelwise, coords, counts, self.grid_dzyx)
+        if self.spatial_shard:
+            from jax.sharding import PartitionSpec as P
+
+            dense = jax.lax.with_sharding_constraint(
+                dense, P("data", None, None, "model", None))
+        bev = MiddleLayers(dtype=self.dtype, name="middle")(dense, train)
+        if self.spatial_shard:
+            from jax.sharding import PartitionSpec as P
+
+            bev = jax.lax.with_sharding_constraint(
+                bev, P("data", None, "model", None))
+        return RPN(dtype=self.dtype, name="rpn")(bev, train)
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (B, post_topk, 7) lidar boxes
+    scores: jnp.ndarray   # (B, post_topk)
+    valid: jnp.ndarray    # (B, post_topk) bool
+
+
+def build_model(config: VoxelNetConfig) -> VoxelNet:
+    return VoxelNet(
+        grid_dzyx=config.object.grid_size,
+        dtype=jnp.dtype(config.train.compute_dtype),
+        bn_over_padding=config.compat.bn_over_padding,
+        spatial_shard=config.system.num_model_shards > 1,
+    )
+
+
+def init_params(config: VoxelNetConfig, rng: jax.Array):
+    """Initialize params/batch_stats with tiny dummy buffers (shapes only
+    matter along T and channel axes, so K=1 keeps init cheap). Runs under
+    jit — eager per-op dispatch of the init graph is ~15x slower."""
+    model = build_model(config)
+    T = config.object.points_per_voxel
+
+    @jax.jit
+    def _init(r):
+        feats = jnp.zeros((1, 1, T, 7), jnp.float32)
+        coords = jnp.zeros((1, 1, 3), jnp.int32)
+        counts = jnp.zeros((1, 1), jnp.int32)
+        return model.init(r, feats, coords, counts, train=False)
+
+    return _init(rng)
+
+
+def make_inference_fn(config: VoxelNetConfig):
+    """Full single-graph inference: raw padded points -> NMS detections.
+
+    Returns fn(variables, points (B, N, 4), num_points (B,)) -> Detections.
+    Everything — voxelization included — runs inside one jitted graph.
+    """
+    model = build_model(config)
+    spec = VoxelGridSpec.from_object_config(config.object)
+    flat_anchors = jnp.asarray(anchor_ops.anchors_flat(config.object))
+    obj, rpn_cfg = config.object, config.rpn
+
+    def fn(variables, points, num_points) -> Detections:
+        vox: Voxels = voxelize_batch_jax(
+            points, num_points, spec, config.data.max_voxels)
+        cls_logits, reg = model.apply(
+            variables, vox.features, vox.coords, vox.counts, train=False)
+        probs = jax.nn.sigmoid(cls_logits)
+
+        b = probs.shape[0]
+        boxes = box_coding.decode_deltas(
+            reg.reshape(b, -1, 7), flat_anchors, obj.anchor_h)
+        flat_probs = probs.reshape(b, -1)
+
+        def one(bx, sc):
+            return nms.nms_bev(
+                bx, sc,
+                score_thresh=rpn_cfg.score_thres,
+                iou_thresh=rpn_cfg.nms_thres,
+                pre_topk=rpn_cfg.nms_pre_topk,
+                post_topk=rpn_cfg.nms_post_topk,
+                mode=rpn_cfg.nms_mode)
+
+        res = jax.vmap(one)(boxes, flat_probs)
+        return Detections(res.boxes, res.scores, res.valid)
+
+    return fn
+
+
+def make_forward_fn(config: VoxelNetConfig, train: bool = False):
+    """Voxel-buffers-in forward (the data pipeline already voxelized)."""
+    model = build_model(config)
+
+    def fn(variables, features, coords, counts):
+        if train:
+            return model.apply(
+                variables, features, coords, counts, train=True,
+                mutable=["batch_stats"])
+        return model.apply(variables, features, coords, counts, train=False)
+
+    return fn
+
+
+def param_count(variables) -> int:
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree.leaves(variables["params"]))

@@ -1,0 +1,51 @@
+"""On-device box encode / decode between anchors and regression deltas.
+
+Decode matches the reference's `deltas_to_boxes_3d`
+(voxelnet/utils.py:476-489); encode is its inverse, used by on-device target
+assignment. Delta layout per anchor: (dx, dy, dz, dh, dw, dl, dr).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def decode_deltas(deltas: jnp.ndarray, anchors: jnp.ndarray,
+                  anchor_h: float) -> jnp.ndarray:
+    """Deltas -> absolute lidar boxes.
+
+    Args:
+      deltas: (..., A, 7) or (..., H', W', 14) regression output.
+      anchors: (A, 7) flattened anchors.
+      anchor_h: the class anchor height (z offsets are normalized by it,
+        voxelnet/utils.py:485).
+
+    Returns (..., A, 7) boxes (x, y, z, h, w, l, r).
+    """
+    deltas = deltas.reshape(*deltas.shape[:-3], -1, 7) \
+        if deltas.shape[-1] != 7 else deltas
+    anchors = anchors.astype(deltas.dtype)
+    diag = jnp.sqrt(anchors[:, 4] ** 2 + anchors[:, 5] ** 2)
+
+    xy = deltas[..., 0:2] * diag[:, None] + anchors[:, 0:2]
+    z = deltas[..., 2:3] * anchor_h + anchors[:, 2:3]
+    hwl = jnp.exp(deltas[..., 3:6]) * anchors[:, 3:6]
+    r = deltas[..., 6:7] + anchors[:, 6:7]
+    return jnp.concatenate([xy, z, hwl, r], axis=-1)
+
+
+def encode_boxes(boxes: jnp.ndarray, anchors: jnp.ndarray,
+                 anchor_h: float) -> jnp.ndarray:
+    """Absolute lidar boxes -> deltas w.r.t. anchors (inverse of decode).
+
+    Args:
+      boxes: (..., A, 7) target boxes aligned to anchors.
+      anchors: (A, 7).
+    """
+    anchors = anchors.astype(boxes.dtype)
+    diag = jnp.sqrt(anchors[:, 4] ** 2 + anchors[:, 5] ** 2)
+    xy = (boxes[..., 0:2] - anchors[:, 0:2]) / diag[:, None]
+    z = (boxes[..., 2:3] - anchors[:, 2:3]) / anchor_h
+    hwl = jnp.log(jnp.maximum(boxes[..., 3:6], 1e-6) / anchors[:, 3:6])
+    r = boxes[..., 6:7] - anchors[:, 6:7]
+    return jnp.concatenate([xy, z, hwl, r], axis=-1)

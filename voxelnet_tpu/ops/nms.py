@@ -1,0 +1,100 @@
+"""Fixed-shape, on-device non-maximum suppression.
+
+The reference's NMS is a serial PyTorch sort/gather loop over a
+data-dependent candidate set (voxelnet/utils.py:492-553) driven from a NumPy
+score threshold on the host (voxelnet/model.py:28-57). TPU redesign: a
+static top-k candidate set, a (k, k) IoU matrix (axis-aligned or exact
+rotated-BEV), and a greedy suppression sweep as a `fori_loop` — the whole
+detector stays one jitted graph with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from voxelnet_tpu.ops import iou as iou_ops
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray    # (post_topk, 7) lidar boxes
+    scores: jnp.ndarray   # (post_topk,)
+    valid: jnp.ndarray    # (post_topk,) bool
+
+
+def _greedy_suppress(iou_mat: jnp.ndarray, order_valid: jnp.ndarray,
+                     thresh: float) -> jnp.ndarray:
+    """Greedy NMS over score-sorted candidates.
+
+    iou_mat: (k, k) IoU between candidates already sorted by descending
+    score. Returns (k,) keep mask. O(k) sequential steps of O(k) vector work.
+    """
+    k = iou_mat.shape[0]
+
+    def body(i, state):
+        keep, suppressed = state
+        is_live = jnp.logical_and(~suppressed[i], order_valid[i])
+        keep = keep.at[i].set(is_live)
+        # suppress strictly-later candidates overlapping candidate i
+        later = jnp.arange(k) > i
+        kill = jnp.logical_and(is_live,
+                               jnp.logical_and(later, iou_mat[i] > thresh))
+        return keep, jnp.logical_or(suppressed, kill)
+
+    keep, _ = jax.lax.fori_loop(
+        0, k, body,
+        (jnp.zeros((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_)))
+    return keep
+
+
+def nms_bev(boxes3d: jnp.ndarray, scores: jnp.ndarray, *,
+            score_thresh: float, iou_thresh: float,
+            pre_topk: int, post_topk: int,
+            mode: str = "rotated") -> NMSResult:
+    """Score-threshold + BEV NMS for one frame, all static shapes.
+
+    Args:
+      boxes3d: (A, 7) decoded lidar boxes (x, y, z, h, w, l, r).
+      scores: (A,) objectness probabilities.
+      mode: 'rotated' — exact rotated-rectangle IoU (upgrade over the
+        reference); 'standup' — axis-aligned IoU of the AABB of the rotated
+        corners, matching voxelnet/model.py:39-48.
+
+    Returns post_topk boxes/scores with a validity mask (False entries are
+    padding — either below the score threshold or suppressed).
+    """
+    scores = scores.astype(jnp.float32)
+    eligible = scores >= score_thresh
+    gated = jnp.where(eligible, scores, -1.0)
+
+    pre_topk = min(pre_topk, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(gated, pre_topk)
+    cand = boxes3d[top_idx].astype(jnp.float32)        # (k, 7)
+    cand_valid = top_scores >= score_thresh
+
+    bev = cand[:, jnp.asarray([0, 1, 4, 5, 6])]        # (k, 5) x, y, w, l, r
+    if mode == "rotated":
+        mat = iou_ops.rotated_iou(bev, bev)
+    elif mode == "standup":
+        corners = iou_ops.bev_corners(bev)
+        standup = jnp.stack([
+            corners[..., 0].min(axis=-1), corners[..., 1].min(axis=-1),
+            corners[..., 0].max(axis=-1), corners[..., 1].max(axis=-1),
+        ], axis=-1)
+        mat = iou_ops.standup_iou(standup, standup)
+    else:
+        raise ValueError(f"unknown NMS mode {mode!r}")
+
+    keep = _greedy_suppress(mat, cand_valid, iou_thresh)
+
+    # compact the kept candidates to the front (stable by score order)
+    rank = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, post_topk)
+    out_boxes = jnp.zeros((post_topk, 7), jnp.float32).at[rank].set(
+        cand, mode="drop")
+    out_scores = jnp.zeros((post_topk,), jnp.float32).at[rank].set(
+        top_scores, mode="drop")
+    out_valid = jnp.zeros((post_topk,), jnp.bool_).at[rank].set(
+        True, mode="drop")
+    return NMSResult(out_boxes, out_scores, out_valid)

@@ -1,0 +1,247 @@
+"""Point-cloud voxelization with static output shapes.
+
+The reference voxelizes per sample on the CPU with a Python dict loop
+(reference: voxelnet/utils.py:10-100, `pcl_to_voxels`) and returns ragged
+(K, T, 7) buffers. TPU-native redesign:
+
+  * `voxelize_np`   — vectorized NumPy with identical semantics (host data
+                      pipeline + golden tests), optional padding to a fixed
+                      K bucket.
+  * `voxelize_jax`  — a single jittable function over fixed (N_max, 4) point
+                      buffers producing fixed (K_max, T, 7) voxel buffers:
+                      sort-by-voxel-id + segmented scatter, no data-dependent
+                      shapes, so the whole voxelizer lives inside the
+                      inference/training graph.
+
+Output buffers (shared layout):
+  features (K, T, 7)  — x, y, z, reflectance, dx, dy, dz (offset from the
+                        centroid of the *stored* points of the voxel)
+  coords   (K, 3) int — (z, y, x) voxel grid indices
+  counts   (K,)  int  — stored points per voxel (<= T)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelnet_tpu.config import ObjectConfig
+
+
+class VoxelGridSpec(NamedTuple):
+    """Static voxelization parameters derived from an ObjectConfig."""
+
+    grid_dzyx: tuple[int, int, int]        # (D, H, W)
+    voxel_size_zyx: tuple[float, float, float]
+    offset_xyz: tuple[float, float, float]  # added to points pre-binning
+    max_points_per_voxel: int               # T
+
+    @classmethod
+    def from_object_config(cls, obj: ObjectConfig) -> "VoxelGridSpec":
+        return cls(
+            grid_dzyx=obj.grid_size,
+            voxel_size_zyx=obj.voxel_size_zyx,
+            offset_xyz=obj.lidar_offset,
+            max_points_per_voxel=obj.points_per_voxel,
+        )
+
+
+class Voxels(NamedTuple):
+    features: jnp.ndarray  # (K, T, 7) float32
+    coords: jnp.ndarray    # (K, 3) int32, (z, y, x)
+    counts: jnp.ndarray    # (K,) int32
+    num_voxels: jnp.ndarray | int  # scalar: occupied voxels (<= K)
+
+
+# ---------------------------------------------------------------------------
+# NumPy host path (reference-parity semantics)
+# ---------------------------------------------------------------------------
+
+def voxelize_np(points: np.ndarray, spec: VoxelGridSpec,
+                max_voxels: int | None = None,
+                shuffle: bool = False,
+                rng: np.random.Generator | None = None) -> Voxels:
+    """Vectorized host voxelizer with the reference's semantics.
+
+    Matches voxelnet/utils.py:10-100: shift points, floor-divide into
+    (z, y, x) indices, crop to grid, keep the first T points per voxel in
+    arrival order, then append offsets from the per-voxel centroid of the
+    stored points. `shuffle` reproduces the reference's pre-shuffle
+    (voxelnet/utils.py:35); pass an rng for determinism.
+    """
+    D, H, W = spec.grid_dzyx
+    T = spec.max_points_per_voxel
+    pts = np.asarray(points, np.float32).reshape(-1, 4)
+
+    if shuffle:
+        rng = rng or np.random.default_rng()
+        pts = pts[rng.permutation(len(pts))]
+
+    shifted = pts[:, :3] + np.asarray(spec.offset_xyz, np.float32)
+    vz = np.floor(shifted[:, 2] / spec.voxel_size_zyx[0]).astype(np.int64)
+    vy = np.floor(shifted[:, 1] / spec.voxel_size_zyx[1]).astype(np.int64)
+    vx = np.floor(shifted[:, 0] / spec.voxel_size_zyx[2]).astype(np.int64)
+    inside = (
+        (vz >= 0) & (vz < D) & (vy >= 0) & (vy < H) & (vx >= 0) & (vx < W)
+    )
+    pts, vz, vy, vx = pts[inside], vz[inside], vy[inside], vx[inside]
+
+    linear = (vz * H + vy) * W + vx
+    uniq, inverse = np.unique(linear, return_inverse=True)
+    K = len(uniq)
+
+    # slot of each point within its voxel, preserving arrival order:
+    # stable-sort by voxel, then position-in-run.
+    order = np.argsort(inverse, kind="stable")
+    inv_sorted = inverse[order]
+    run_start = np.r_[0, np.flatnonzero(np.diff(inv_sorted)) + 1]
+    starts_per_point = np.repeat(run_start, np.diff(np.r_[run_start, len(inv_sorted)]))
+    slot_sorted = np.arange(len(inv_sorted)) - starts_per_point
+    slot = np.empty(len(inv_sorted), np.int64)
+    slot[order] = slot_sorted
+
+    keep = slot < T
+    features = np.zeros((K, T, 7), np.float32)
+    features[inverse[keep], slot[keep], :4] = pts[keep]
+    counts = np.minimum(np.bincount(inverse, minlength=K), T).astype(np.int32)
+
+    # centroid offsets over the stored points (voxelnet/utils.py:86-88)
+    centroid = features[:, :, :3].sum(axis=1, keepdims=True) / np.maximum(
+        counts, 1).astype(np.float32).reshape(K, 1, 1)
+    point_mask = (np.arange(T)[None, :] < counts[:, None])[..., None]
+    features[:, :, 4:7] = (features[:, :, :3] - centroid) * point_mask
+
+    coords = np.stack([uniq // (H * W), (uniq // W) % H, uniq % W],
+                      axis=1).astype(np.int32)
+
+    if max_voxels is not None:
+        k = min(K, max_voxels)
+        feat = np.zeros((max_voxels, T, 7), np.float32)
+        crd = np.zeros((max_voxels, 3), np.int32)
+        cnt = np.zeros((max_voxels,), np.int32)
+        feat[:k], crd[:k], cnt[:k] = features[:k], coords[:k], counts[:k]
+        return Voxels(feat, crd, cnt, k)
+    return Voxels(features, coords, counts, K)
+
+
+# ---------------------------------------------------------------------------
+# JAX on-device path (fixed shapes, jit-safe)
+# ---------------------------------------------------------------------------
+
+def pad_points(points: np.ndarray, max_points: int,
+               rng: np.random.Generator | None = None,
+               shuffle: bool = False):
+    """Host-side staging: (N, 4) ragged -> ((max_points, 4), count).
+
+    If N > max_points a uniform random subsample is taken (shuffle=True) or
+    the first max_points points (shuffle=False).
+    """
+    pts = np.asarray(points, np.float32).reshape(-1, 4)
+    if shuffle:
+        rng = rng or np.random.default_rng()
+        pts = pts[rng.permutation(len(pts))]
+    n = min(len(pts), max_points)
+    out = np.zeros((max_points, 4), np.float32)
+    out[:n] = pts[:n]
+    return out, np.int32(n)
+
+
+def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
+                 spec: VoxelGridSpec, max_voxels: int) -> Voxels:
+    """Jittable fixed-shape voxelizer.
+
+    Args:
+      points: (N_max, 4) float32 — padded (x, y, z, reflectance).
+      num_points: scalar int32 — valid prefix length.
+      spec: static grid parameters.
+      max_voxels: K_max, static.
+
+    Returns Voxels with features (K_max, T, 7), coords (K_max, 3),
+    counts (K_max,) and scalar num_voxels. Padding voxels have coords
+    (0,0,0) and count 0 — consumers must mask by `counts > 0` position
+    index < num_voxels.
+
+    Design: radix-style sort by linear voxel id (XLA sort), segmented
+    position-in-run via cummax, single scatter into the (K_max*T) point
+    table, segment-sum centroids. Everything static-shape; the only
+    data-dependent values live inside tensors.
+    """
+    D, H, W = spec.grid_dzyx
+    T = spec.max_points_per_voxel
+    N = points.shape[0]
+    INVALID = jnp.int32(D * H * W)  # sorts after all real voxels
+
+    shifted = points[:, :3] + jnp.asarray(spec.offset_xyz, jnp.float32)
+    inv_size = 1.0 / jnp.asarray(
+        (spec.voxel_size_zyx[2], spec.voxel_size_zyx[1],
+         spec.voxel_size_zyx[0]), jnp.float32)
+    vxyz = jnp.floor(shifted * inv_size).astype(jnp.int32)  # (N, 3) x,y,z
+    vx, vy, vz = vxyz[:, 0], vxyz[:, 1], vxyz[:, 2]
+
+    valid = (
+        (jnp.arange(N, dtype=jnp.int32) < num_points)
+        & (vx >= 0) & (vx < W) & (vy >= 0) & (vy < H)
+        & (vz >= 0) & (vz < D)
+    )
+    linear = jnp.where(valid, (vz * H + vy) * W + vx, INVALID)
+
+    # Stable sort points by voxel id; carry original point index.
+    sort_ids, sort_perm = jax.lax.sort(
+        (linear, jnp.arange(N, dtype=jnp.int32)), num_keys=1)
+    sorted_pts = points[sort_perm]
+    sorted_valid = sort_ids < INVALID
+
+    # Run starts — first point of each voxel in sorted order.
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sort_ids[:-1]])
+    is_start = (sort_ids != prev) & sorted_valid
+    # Compact voxel slot: cumsum over run starts (first voxel -> slot 0).
+    voxel_slot = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    num_voxels = jnp.minimum(voxel_slot[-1] + 1, max_voxels)
+
+    # Position within run: index - (index of run start), via cummax.
+    idx = jnp.arange(N, dtype=jnp.int32)
+    run_start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    in_voxel_slot = idx - run_start_idx
+
+    keep = sorted_valid & (in_voxel_slot < T) & (voxel_slot < max_voxels)
+    # Scatter points into the (K_max, T, 4) table in one shot.
+    flat_slot = jnp.where(keep, voxel_slot * T + in_voxel_slot,
+                          max_voxels * T)  # OOB index -> dropped
+    table = jnp.zeros((max_voxels * T, 4), jnp.float32)
+    table = table.at[flat_slot].set(
+        jnp.where(keep[:, None], sorted_pts, 0.0), mode="drop")
+    table = table.reshape(max_voxels, T, 4)
+
+    # counts per voxel (capped at T)
+    counts = jnp.zeros((max_voxels,), jnp.int32).at[
+        jnp.where(keep, voxel_slot, max_voxels)
+    ].add(1, mode="drop")
+
+    # coords at run starts
+    zyx = jnp.stack([vz, vy, vx], axis=1)[sort_perm]
+    coord_target = jnp.where(is_start & (voxel_slot < max_voxels),
+                             voxel_slot, max_voxels)
+    coords = jnp.zeros((max_voxels, 3), jnp.int32).at[coord_target].set(
+        zyx, mode="drop")
+
+    # centroid offsets over stored points
+    denom = jnp.maximum(counts, 1).astype(jnp.float32)[:, None, None]
+    centroid = table[:, :, :3].sum(axis=1, keepdims=True) / denom
+    point_mask = (
+        jnp.arange(T, dtype=jnp.int32)[None, :] < counts[:, None]
+    )[..., None].astype(jnp.float32)
+    offsets = (table[:, :, :3] - centroid) * point_mask
+
+    features = jnp.concatenate([table, offsets], axis=-1)
+    return Voxels(features, coords, counts, num_voxels)
+
+
+def voxelize_batch_jax(points: jnp.ndarray, num_points: jnp.ndarray,
+                       spec: VoxelGridSpec, max_voxels: int) -> Voxels:
+    """vmapped batch voxelizer: (B, N_max, 4) + (B,) -> batched Voxels."""
+    return jax.vmap(
+        lambda p, n: voxelize_jax(p, n, spec, max_voxels)
+    )(points, num_points)

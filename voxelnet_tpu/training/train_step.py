@@ -1,0 +1,151 @@
+"""Jitted train / eval steps.
+
+Contrast with the reference, whose per-iteration path bounces device->host
+for NumPy target generation inside `RPN3D.forward` (voxelnet/model.py:309)
+and host->device for the masks (model.py:327-332): here ONE jitted graph per
+step does voxelize -> VFE -> convs -> on-device targets -> loss -> grads ->
+optimizer update, with the batch sharded over the mesh 'data' axis (XLA
+inserts the gradient all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from voxelnet_tpu.config import VoxelNetConfig
+from voxelnet_tpu.models.voxelnet import build_model, init_params
+from voxelnet_tpu.ops import anchors as anchor_ops
+from voxelnet_tpu.ops import losses, targets as targets_ops
+from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(config: VoxelNetConfig,
+                       tx: optax.GradientTransformation,
+                       rng: jax.Array) -> TrainState:
+    variables = init_params(config, rng)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+    )
+
+
+def _compute_target_maps(config: VoxelNetConfig, gt_boxes, gt_mask):
+    """vmapped on-device target assignment -> NHWC anchor maps."""
+    obj = config.object
+    flat_anchors = jnp.asarray(anchor_ops.anchors_flat(obj))
+    standup = jnp.asarray(targets_ops.anchor_standup_np(
+        obj, buggy=config.compat.buggy_anchor_standup))
+
+    def one(gt_b, gt_m):
+        assign = targets_ops.assign_targets(
+            gt_b, gt_m, flat_anchors, standup,
+            pos_iou=obj.rpn_pos_iou, neg_iou=obj.rpn_neg_iou,
+            anchor_h=obj.anchor_h,
+            iou_plus_one=config.compat.iou_plus_one)
+        return targets_ops.targets_to_maps(
+            assign, (obj.feature_height, obj.feature_width))
+
+    return jax.vmap(one)(gt_boxes, gt_mask)
+
+
+def _voxelize(config: VoxelNetConfig, batch):
+    if "voxel_features" in batch:
+        return (batch["voxel_features"], batch["voxel_coords"],
+                batch["voxel_counts"])
+    spec = VoxelGridSpec.from_object_config(config.object)
+    vox = voxelize_batch_jax(batch["points"], batch["num_points"], spec,
+                             config.data.max_voxels)
+    return vox.features, vox.coords, vox.counts
+
+
+def make_train_step(config: VoxelNetConfig,
+                    tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Returns jitted fn(state, batch) -> (state, metrics dict).
+
+    `batch` needs points/num_points (device voxelization) or voxel buffers
+    (host voxelization), plus gt_boxes (B, G, 7) and gt_mask (B, G).
+    """
+    model = build_model(config)
+    tcfg = config.train
+
+    def step_fn(state: TrainState, batch) -> tuple[TrainState, dict]:
+        features, coords, counts = _voxelize(config, batch)
+        pos, neg, reg_t = _compute_target_maps(
+            config, batch["gt_boxes"], batch["gt_mask"])
+
+        def loss_fn(params):
+            (cls_logits, reg), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                features, coords, counts, train=True,
+                mutable=["batch_stats"])
+            out = losses.rpn_loss(
+                cls_logits, reg, pos, neg, reg_t,
+                alpha=tcfg.alpha, beta=tcfg.beta, sigma=tcfg.sigma,
+                from_logits=True,
+                buggy_smooth_l1=config.compat.buggy_smooth_l1)
+            return out.loss, (updates["batch_stats"], out)
+
+        (loss, (new_stats, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "cls_loss": out.cls_loss,
+            "reg_loss": out.reg_loss,
+            "cls_pos_loss": out.cls_pos_loss,
+            "cls_neg_loss": out.cls_neg_loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(config: VoxelNetConfig):
+    """Jitted fn(state, batch) -> (metrics, cls_probs, reg) for validation."""
+    model = build_model(config)
+    tcfg = config.train
+
+    def eval_fn(state: TrainState, batch):
+        features, coords, counts = _voxelize(config, batch)
+        pos, neg, reg_t = _compute_target_maps(
+            config, batch["gt_boxes"], batch["gt_mask"])
+        cls_logits, reg = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            features, coords, counts, train=False)
+        out = losses.rpn_loss(
+            cls_logits, reg, pos, neg, reg_t,
+            alpha=tcfg.alpha, beta=tcfg.beta, sigma=tcfg.sigma,
+            from_logits=True,
+            buggy_smooth_l1=config.compat.buggy_smooth_l1)
+        metrics = {"loss": out.loss, "cls_loss": out.cls_loss,
+                   "reg_loss": out.reg_loss}
+        return metrics, jax.nn.sigmoid(cls_logits), reg
+
+    return jax.jit(eval_fn)

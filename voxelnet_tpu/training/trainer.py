@@ -1,0 +1,230 @@
+"""Training loop with the reference's observability surface.
+
+Mirrors the capability of voxelnet/train.py:30-270 — experiment-dir
+auto-naming `exps/YYYY-MM-DD-NNN/{checkpoints,logs,vis,preds}`, config
+snapshot, TensorBoard scalar/image summaries, periodic sampled validation,
+per-epoch full validation with KITTI label dumps and best-checkpoint
+tracking — rebuilt around jitted steps, mesh sharding and Orbax resume
+(which the reference left NotImplementedError, train.py:127-128).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from voxelnet_tpu.config import VoxelNetConfig
+from voxelnet_tpu.data.dataset import KITTIDataset, make_batch_iterator
+from voxelnet_tpu.models.voxelnet import Detections
+from voxelnet_tpu.ops import anchors as anchor_ops
+from voxelnet_tpu.ops import box_coding, nms
+from voxelnet_tpu.parallel import make_mesh, shard_batch
+from voxelnet_tpu.training import checkpoint as ckpt_lib
+from voxelnet_tpu.training.optim import make_optimizer
+from voxelnet_tpu.training.train_step import (
+    TrainState, create_train_state, make_eval_step, make_train_step)
+from voxelnet_tpu.utils import kitti
+
+import jax.numpy as jnp
+
+
+def make_exp_dir(base: str = "exps") -> str:
+    """exps/YYYY-MM-DD-NNN layout (voxelnet/train.py:99-122)."""
+    os.makedirs(base, exist_ok=True)
+    date = datetime.datetime.now().strftime("%Y-%m-%d")
+    i = 0
+    while True:
+        exp_dir = os.path.join(base, f"{date}-{i:03d}")
+        if not os.path.isdir(exp_dir):
+            break
+        i += 1
+    for sub in ("checkpoints", "logs", "vis", "preds"):
+        os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+    return exp_dir
+
+
+def make_decode_fn(config: VoxelNetConfig):
+    """Jitted probs/deltas -> NMS detections (post-forward half of predict)."""
+    flat_anchors = jnp.asarray(anchor_ops.anchors_flat(config.object))
+    obj, rpn_cfg = config.object, config.rpn
+
+    @jax.jit
+    def decode(probs, deltas) -> Detections:
+        b = probs.shape[0]
+        boxes = box_coding.decode_deltas(
+            deltas.reshape(b, -1, 7), flat_anchors, obj.anchor_h)
+        flat_probs = probs.reshape(b, -1)
+
+        def one(bx, sc):
+            return nms.nms_bev(
+                bx, sc, score_thresh=rpn_cfg.score_thres,
+                iou_thresh=rpn_cfg.nms_thres,
+                pre_topk=rpn_cfg.nms_pre_topk,
+                post_topk=rpn_cfg.nms_post_topk, mode=rpn_cfg.nms_mode)
+
+        res = jax.vmap(one)(boxes, flat_probs)
+        return Detections(res.boxes, res.scores, res.valid)
+
+    return decode
+
+
+class Trainer:
+    def __init__(self, config: VoxelNetConfig, train_dir: str, val_dir: str,
+                 exp_base: str = "exps", resume_from: str | None = None):
+        self.config = config
+        self.exp_dir = make_exp_dir(exp_base)
+        with open(os.path.join(self.exp_dir, "config.yaml"), "w") as f:
+            f.write(config.dump_yaml())
+
+        if config.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self.train_ds = KITTIDataset(
+            train_dir, config, augment=config.train.augment)
+        self.val_ds = KITTIDataset(val_dir, config, augment=False)
+
+        steps_per_epoch = max(
+            1, len(self.train_ds) // config.train.batch_size)
+        self.steps_per_epoch = steps_per_epoch
+        self.tx = make_optimizer(config, steps_per_epoch)
+
+        self.mesh = make_mesh(
+            num_data=config.system.num_data_shards,
+            num_model=config.system.num_model_shards,
+        ) if (config.system.num_data_shards
+              * config.system.num_model_shards) > 1 else None
+
+        self.state = create_train_state(
+            config, self.tx, jax.random.key(config.train.seed))
+        self.train_step = make_train_step(config, self.tx)
+        self.eval_step = make_eval_step(config)
+        self.decode_fn = make_decode_fn(config)
+
+        self.ckpt = ckpt_lib.CheckpointManager(
+            os.path.join(self.exp_dir, "checkpoints"),
+            keep=config.train.keep_checkpoints)
+        self.start_epoch = 0
+        if resume_from:
+            mgr = ckpt_lib.CheckpointManager(resume_from)
+            self.state = mgr.restore(self.state)
+            self.start_epoch = int(self.state.step) // steps_per_epoch
+            mgr.close()
+
+        try:
+            from tensorboardX import SummaryWriter
+            self.summary = SummaryWriter(os.path.join(self.exp_dir, "logs"))
+        except ImportError:
+            self.summary = None
+
+    # -- helpers ----------------------------------------------------------
+    def _device_batch(self, batch: dict) -> dict:
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        if self.mesh is not None:
+            return shard_batch(self.mesh, arrays)
+        return arrays
+
+    def _log(self, group: str, metrics: dict, step: int):
+        if self.summary is not None:
+            for k, v in metrics.items():
+                self.summary.add_scalar(f"{group}/{k}", float(v), step)
+
+    # -- main loop --------------------------------------------------------
+    def train(self, print_interval: int = 100, summary_interval: int = 100,
+              val_interval: int = 100, dump_val_labels: bool = True):
+        cfg = self.config
+        min_loss = float("inf")
+        global_step = int(self.state.step)
+        val_iter = None
+
+        for epoch in range(self.start_epoch, cfg.train.num_epochs):
+            epoch_start = time.time()
+            tot_val_loss, tot_val_times = 0.0, 0
+            it = make_batch_iterator(
+                self.train_ds, cfg.train.batch_size, shuffle=True,
+                seed=cfg.train.seed + epoch)
+            for i, batch in enumerate(it):
+                self.state, metrics = self.train_step(
+                    self.state, self._device_batch(batch))
+                global_step += 1
+
+                if (i + 1) % print_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"Train {i + 1} @ epoch {epoch + 1}/"
+                          f"{cfg.train.num_epochs} - loss {m['loss']:.4f} "
+                          f"| reg {m['reg_loss']:.4f} "
+                          f"| cls {m['cls_loss']:.4f}")
+                if (i + 1) % summary_interval == 0:
+                    self._log("train", metrics, global_step)
+                if (i + 1) % val_interval == 0:
+                    if val_iter is None:
+                        val_iter = make_batch_iterator(
+                            self.val_ds, cfg.val.batch_size, shuffle=False)
+                    try:
+                        val_batch = next(val_iter)
+                    except StopIteration:
+                        val_iter = make_batch_iterator(
+                            self.val_ds, cfg.val.batch_size, shuffle=False)
+                        val_batch = next(val_iter)
+                    vmet, _, _ = self.eval_step(
+                        self.state, self._device_batch(val_batch))
+                    # NOTE: the reference logs *training* loss under its
+                    # validate/ keys (voxelnet/train.py:180-184); we log the
+                    # actual validation metrics.
+                    self._log("validate", vmet, global_step)
+                    tot_val_loss += float(vmet["loss"])
+                    tot_val_times += 1
+
+            avg_val = (tot_val_loss / tot_val_times
+                       if tot_val_times else float("inf"))
+            is_best = avg_val < min_loss
+            min_loss = min(avg_val, min_loss)
+            self.ckpt.save(epoch, self.state, {"val_loss": avg_val})
+
+            if dump_val_labels:
+                self.dump_val_predictions(epoch)
+
+            print(f"Epoch {epoch + 1} time {time.time() - epoch_start:.1f}s "
+                  f"avg_val_loss {avg_val:.4f} best={is_best}")
+
+        if self.summary is not None:
+            self.summary.close()
+
+    def dump_val_predictions(self, epoch: int, max_frames: int | None = None):
+        """Full-val sweep -> KITTI label files (voxelnet/train.py:205-232)."""
+        cfg = self.config
+        out_dir = os.path.join(
+            self.exp_dir, "preds", str(epoch + 1), "data")
+        os.makedirs(out_dir, exist_ok=True)
+        seen = 0
+        for batch in make_batch_iterator(
+                self.val_ds, cfg.val.batch_size, shuffle=False,
+                drop_remainder=False):
+            _, probs, deltas = self.eval_step(
+                self.state, self._device_batch(batch))
+            det = self.decode_fn(probs, deltas)
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            valid = np.asarray(det.valid)
+            for b, tag in enumerate(batch["tags"]):
+                keep = valid[b]
+                frame_boxes = boxes[b][keep]
+                frame_scores = scores[b][keep]
+                calib_path = os.path.join(cfg.data.calib_dir, tag + ".txt")
+                P = Tr = R = None
+                if os.path.exists(calib_path):
+                    P, Tr, R = kitti.load_calib(calib_path)
+                lines = kitti.boxes_to_label_lines(
+                    frame_boxes, [cfg.object.name] * len(frame_boxes),
+                    scores=frame_scores, coordinate="lidar",
+                    P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
+                with open(os.path.join(out_dir, tag + ".txt"), "w") as f:
+                    f.writelines(lines)
+                seen += 1
+                if max_frames and seen >= max_frames:
+                    return
