@@ -66,28 +66,38 @@ def load_frames(max_points: int, batch: int):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from voxelnet_tpu.config import get_config
     from voxelnet_tpu.models.voxelnet import init_params, make_inference_fn
 
     config = get_config("Car")
     variables = init_params(config, jax.random.key(0))
-    infer = jax.jit(make_inference_fn(config))
+    infer = make_inference_fn(config)
+
+    # Chain a zero-valued salt through iterations so the device executes
+    # every step serially and ONE final value fetch closes the pipeline.
+    # (On tunneled backends, block_until_ready/per-step fetches measure
+    # round-trip latency, not device throughput.)
+    @jax.jit
+    def chained(variables, p, n, salt):
+        det = infer(variables, p + salt, n)
+        return det, det.scores.sum() * 0.0
 
     batches = load_frames(config.data.max_points, BATCH)
-    # stage on device
     dev_batches = [(jax.device_put(p), jax.device_put(n))
                    for p, n in batches]
 
     # warmup / compile
-    out = infer(variables, *dev_batches[0])
-    jax.block_until_ready(out)
+    _, salt = chained(variables, *dev_batches[0], jnp.float32(0))
+    float(salt)
 
+    salt = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(ITERS):
         p, n = dev_batches[i % len(dev_batches)]
-        out = infer(variables, p, n)
-    jax.block_until_ready(out)
+        _, salt = chained(variables, p, n, salt)
+    float(salt)  # forces the whole chain
     elapsed = time.perf_counter() - t0
 
     fps = BATCH * ITERS / elapsed

@@ -199,7 +199,9 @@ class RPNConfig:
     nms_thres: float = 0.1
     score_thres: float = 0.96
     # Pre-NMS candidate cap — the static shape the on-device NMS runs over.
-    nms_pre_topk: int = 512
+    # KITTI frames rarely exceed ~100 candidates above the 0.96 score
+    # threshold; 256 keeps the (k, k) IoU matrix cheap.
+    nms_pre_topk: int = 256
     # 'rotated' = true rotated-BEV IoU NMS on device (upgrade over the
     # reference's axis-aligned NMS, voxelnet/model.py:39-48);
     # 'standup' = reference-parity axis-aligned NMS.
@@ -239,7 +241,10 @@ class CompatConfig:
     # reference voxelnet/utils.py:344-373 adds +1 (pixel convention) to
     # metric box extents when computing IoU.
     iou_plus_one: bool = False
-    # reference voxelnet/model.py:74-76 batch-norms over padded points too.
+    # reference VFE padding semantics (voxelnet/model.py:74-79): BatchNorm
+    # normalizes over padded points, and the per-voxel max-pool includes the
+    # "ghost" activations the padded zero-rows produce through
+    # Dense+ReLU+BN. Default False = mask-aware BN and masked max.
     bn_over_padding: bool = False
 
 

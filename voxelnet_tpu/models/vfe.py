@@ -41,11 +41,15 @@ class VFELayer(nn.Module):
             dtype=jnp.float32, name="bn",
         )(y, mask=bn_mask).astype(self.dtype)
 
-        # masked per-voxel max over points
-        neg = jnp.asarray(-1e9, self.dtype)
-        masked = jnp.where(mask[..., None], y, neg)
-        agg = masked.max(axis=2, keepdims=True)               # (B, K, 1, half)
-        agg = jnp.broadcast_to(agg, y.shape)
+        if self.bn_over_padding:
+            # reference parity: the max-pool sees the ghost activations the
+            # padded zero-rows produce (voxelnet/model.py:77)
+            agg = y.max(axis=2, keepdims=True)
+        else:
+            neg = jnp.asarray(-1e9, self.dtype)
+            agg = jnp.where(mask[..., None], y, neg).max(axis=2,
+                                                         keepdims=True)
+        agg = jnp.broadcast_to(agg, y.shape)                  # (B, K, 1->T, half)
         out = jnp.concatenate([y, agg], axis=-1)              # (B, K, T, cout)
         return out * mask[..., None].astype(self.dtype)
 
@@ -76,9 +80,14 @@ class FeatureLearningNet(nn.Module):
         x = VFELayer(128, dtype=self.dtype,
                      bn_over_padding=self.bn_over_padding,
                      name="vfe2")(x, point_mask, train)
-        neg = jnp.asarray(-1e9, self.dtype)
-        masked = jnp.where(point_mask[..., None], x, neg)
-        voxelwise = masked.max(axis=2)                        # (B, K, 128)
+        if self.bn_over_padding:
+            # reference parity: x is zero at padded rows and the max runs
+            # over them too, clamping each channel at >= 0
+            # (voxelnet/model.py:100)
+            voxelwise = x.max(axis=2)
+        else:
+            neg = jnp.asarray(-1e9, self.dtype)
+            voxelwise = jnp.where(point_mask[..., None], x, neg).max(axis=2)
         # empty (padding) voxels contribute zeros to the dense grid
         voxel_mask = (counts > 0)[..., None].astype(self.dtype)
         return voxelwise * voxel_mask

@@ -26,26 +26,36 @@ class NMSResult(NamedTuple):
 
 def _greedy_suppress(iou_mat: jnp.ndarray, order_valid: jnp.ndarray,
                      thresh: float) -> jnp.ndarray:
-    """Greedy NMS over score-sorted candidates.
+    """Greedy NMS over score-sorted candidates, as a vectorized fixpoint.
 
     iou_mat: (k, k) IoU between candidates already sorted by descending
-    score. Returns (k,) keep mask. O(k) sequential steps of O(k) vector work.
+    score. Returns the exact greedy (k,) keep mask.
+
+    A literal k-step sequential sweep is latency-bound on TPU (~750 ms for
+    k=512 here). Instead iterate keep <- "no higher-ranked KEPT candidate
+    overlaps me" from an all-true start: each sweep is one (k, k) masked
+    matmul-shaped reduction, and the iteration provably converges to the
+    greedy solution in at most the depth of the longest suppression chain
+    (single digits on real detections). The while_loop stops at the exact
+    fixpoint.
     """
     k = iou_mat.shape[0]
+    over = (iou_mat > thresh) & (
+        jnp.arange(k)[:, None] < jnp.arange(k)[None, :])  # j suppresses i>j
 
-    def body(i, state):
-        keep, suppressed = state
-        is_live = jnp.logical_and(~suppressed[i], order_valid[i])
-        keep = keep.at[i].set(is_live)
-        # suppress strictly-later candidates overlapping candidate i
-        later = jnp.arange(k) > i
-        kill = jnp.logical_and(is_live,
-                               jnp.logical_and(later, iou_mat[i] > thresh))
-        return keep, jnp.logical_or(suppressed, kill)
+    def cond(state):
+        keep, prev_keep, it = state
+        return (it < k) & jnp.any(keep != prev_keep)
 
-    keep, _ = jax.lax.fori_loop(
-        0, k, body,
-        (jnp.zeros((k,), jnp.bool_), jnp.zeros((k,), jnp.bool_)))
+    def body(state):
+        keep, _, it = state
+        suppressed = (over & keep[:, None]).any(axis=0)
+        new_keep = order_valid & ~suppressed
+        return new_keep, keep, it + 1
+
+    init = order_valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.zeros_like(init), jnp.int32(0)))
     return keep
 
 

@@ -134,6 +134,48 @@ class Trainer:
             for k, v in metrics.items():
                 self.summary.add_scalar(f"{group}/{k}", float(v), step)
 
+    def _log_prediction_images(self, batch: dict, probs, deltas, step: int):
+        """TensorBoard image summaries: front view with pred+GT boxes, BEV,
+        probability heatmap (reference voxelnet/model.py:396-416,
+        train.py:187-192). Skips frames whose camera image is unreadable."""
+        if self.summary is None:
+            return
+        try:
+            import cv2
+
+            from voxelnet_tpu.utils import viz
+        except ImportError:
+            return
+        det = self.decode_fn(probs, deltas)
+        boxes = np.asarray(det.boxes[0])[np.asarray(det.valid[0])]
+        tag = batch["tags"][0]
+        gt = np.asarray(batch["gt_boxes"][0])[np.asarray(batch["gt_mask"][0])]
+
+        img_path = os.path.join(self.val_ds.data_dir, "image_2", tag + ".png")
+        calib_path = os.path.join(self.config.data.calib_dir, tag + ".txt")
+        P = Tr = R = None
+        if os.path.exists(calib_path):
+            P, Tr, R = kitti.load_calib(calib_path)
+        img = cv2.imread(img_path) if os.path.exists(img_path) else None
+        if img is not None:
+            front = viz.draw_boxes3d_on_image(
+                img, boxes, gt, P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
+            self.summary.add_image(
+                "predict/front_view_rgb", front.transpose(2, 0, 1), step)
+
+        points = np.asarray(batch["points"][0])
+        points = points[: int(batch["num_points"][0])]
+        bev = viz.lidar_to_bev_image(points, self.config.object, factor=2)
+        bev = viz.draw_boxes3d_on_bev(bev, boxes, self.config.object,
+                                      gt_boxes3d=gt, factor=2)
+        self.summary.add_image("predict/bird_view_lidar",
+                               bev.transpose(2, 0, 1), step)
+
+        heat = viz.colorize_heatmap(
+            np.asarray(probs[0]).transpose(2, 0, 1), factor=2)
+        self.summary.add_image("predict/bird_view_heatmap",
+                               heat.transpose(2, 0, 1), step)
+
     # -- main loop --------------------------------------------------------
     def train(self, print_interval: int = 100, summary_interval: int = 100,
               val_interval: int = 100, dump_val_labels: bool = True):
@@ -171,12 +213,17 @@ class Trainer:
                         val_iter = make_batch_iterator(
                             self.val_ds, cfg.val.batch_size, shuffle=False)
                         val_batch = next(val_iter)
-                    vmet, _, _ = self.eval_step(
+                    vmet, vprobs, vdeltas = self.eval_step(
                         self.state, self._device_batch(val_batch))
                     # NOTE: the reference logs *training* loss under its
                     # validate/ keys (voxelnet/train.py:180-184); we log the
                     # actual validation metrics.
                     self._log("validate", vmet, global_step)
+                    try:
+                        self._log_prediction_images(
+                            val_batch, vprobs, vdeltas, global_step)
+                    except Exception:
+                        pass  # viz is best-effort (missing images/calib)
                     tot_val_loss += float(vmet["loss"])
                     tot_val_times += 1
 
