@@ -123,3 +123,34 @@ def test_no_recompile_across_counts(car_spec):
     fn(padded, np.int32(1000))
     fn(padded, np.int32(3000))
     assert fn._cache_size() == 1
+
+
+def test_pallas_kernel_matches_xla(car_spec):
+    """The fused Pallas table-builder (interpret mode on CPU) is bit-equal
+    to the XLA scatter path."""
+    pts = _cloud(5000, seed=7, spread=True)
+    padded, n = pad_points(pts, 8192)
+    vx = jax.jit(
+        lambda p, n: voxelize_jax(p, n, car_spec, 2048, "xla"))(padded, n)
+    vp = jax.jit(
+        lambda p, n: voxelize_jax(p, n, car_spec, 2048,
+                                  "pallas_interpret"))(padded, n)
+    assert int(vx.num_voxels) == int(vp.num_voxels)
+    np.testing.assert_array_equal(np.asarray(vx.counts), np.asarray(vp.counts))
+    np.testing.assert_array_equal(np.asarray(vx.coords), np.asarray(vp.coords))
+    np.testing.assert_allclose(np.asarray(vx.features),
+                               np.asarray(vp.features))
+
+
+def test_pallas_kernel_voxel_overflow(car_spec):
+    """K > max_voxels: overflow voxels dropped identically in both paths."""
+    pts = _cloud(5000, seed=8)
+    padded, n = pad_points(pts, 8192)
+    vx = jax.jit(
+        lambda p, n: voxelize_jax(p, n, car_spec, 64, "xla"))(padded, n)
+    vp = jax.jit(
+        lambda p, n: voxelize_jax(p, n, car_spec, 64,
+                                  "pallas_interpret"))(padded, n)
+    np.testing.assert_array_equal(np.asarray(vx.counts), np.asarray(vp.counts))
+    np.testing.assert_allclose(np.asarray(vx.features),
+                               np.asarray(vp.features))

@@ -61,6 +61,9 @@ class DataConfig:
     max_gt_boxes: int = 64        # padded ground-truth boxes per frame
     shuffle_points: bool = True   # reference shuffles before voxelizing
                                   # (voxelnet/utils.py:35)
+    # 'auto' -> Pallas VMEM kernel on TPU, XLA scatters elsewhere;
+    # explicit 'xla' / 'pallas' / 'pallas_interpret' override.
+    voxelizer_backend: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -35,7 +35,8 @@ from voxelnet_tpu.models.scatter import scatter_to_dense
 from voxelnet_tpu.models.vfe import FeatureLearningNet
 from voxelnet_tpu.ops import anchors as anchor_ops
 from voxelnet_tpu.ops import box_coding, nms
-from voxelnet_tpu.ops.voxelize import VoxelGridSpec, Voxels, voxelize_batch_jax
+from voxelnet_tpu.ops.voxelize import (
+    VoxelGridSpec, Voxels, resolve_backend, voxelize_batch_jax)
 
 
 class VoxelNet(nn.Module):
@@ -116,10 +117,11 @@ def make_inference_fn(config: VoxelNetConfig):
     spec = VoxelGridSpec.from_object_config(config.object)
     flat_anchors = jnp.asarray(anchor_ops.anchors_flat(config.object))
     obj, rpn_cfg = config.object, config.rpn
+    backend = resolve_backend(config.data.voxelizer_backend)
 
     def fn(variables, points, num_points) -> Detections:
         vox: Voxels = voxelize_batch_jax(
-            points, num_points, spec, config.data.max_voxels)
+            points, num_points, spec, config.data.max_voxels, backend)
         cls_logits, reg = model.apply(
             variables, vox.features, vox.coords, vox.counts, train=False)
         probs = jax.nn.sigmoid(cls_logits)

@@ -68,9 +68,12 @@ def _voxelize(config: VoxelNetConfig, batch):
     if "voxel_features" in batch:
         return (batch["voxel_features"], batch["voxel_coords"],
                 batch["voxel_counts"])
+    from voxelnet_tpu.ops.voxelize import resolve_backend
+
     spec = VoxelGridSpec.from_object_config(config.object)
     vox = voxelize_batch_jax(batch["points"], batch["num_points"], spec,
-                             config.data.max_voxels)
+                             config.data.max_voxels,
+                             resolve_backend(config.data.voxelizer_backend))
     return vox.features, vox.coords, vox.counts
 
 
