@@ -64,49 +64,130 @@ def load_frames(max_points: int, batch: int):
     return batches
 
 
-def main():
+def _make_stage_fn(stage: str, config):
+    """Build (jitted chained fn, batch-maker, metric label) per stage.
+
+    Stages mirror the BASELINE.json config ladder:
+      vfe   — voxelize + VFE stack (config 1)
+      dense — + sparse-to-dense scatter (config 2)
+      infer — full graph incl. decode + rotated NMS (config 3, default)
+      train — full training step incl. on-device targets (config 4)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from voxelnet_tpu.models.vfe import FeatureLearningNet
+    from voxelnet_tpu.models.scatter import scatter_to_dense
+    from voxelnet_tpu.models.voxelnet import (
+        build_model, init_params, make_inference_fn)
+    from voxelnet_tpu.ops.voxelize import (
+        VoxelGridSpec, resolve_backend, voxelize_batch_jax)
+
+    spec = VoxelGridSpec.from_object_config(config.object)
+    backend = resolve_backend(config.data.voxelizer_backend)
+    variables = init_params(config, jax.random.key(0))
+
+    if stage == "infer":
+        infer = make_inference_fn(config)
+
+        @jax.jit
+        def chained(p, n, salt):
+            det = infer(variables, p + salt, n)
+            return det.scores.sum() * 0.0
+
+        return chained, ("KITTI frames/sec/chip (Car, inference, full "
+                         "graph incl. voxelize+rotated-NMS)")
+
+    if stage in ("vfe", "dense"):
+        fln = FeatureLearningNet(dtype=jnp.bfloat16)
+        fln_vars = {
+            "params": variables["params"]["feature_net"],
+            "batch_stats": variables["batch_stats"]["feature_net"],
+        }
+
+        @jax.jit
+        def chained(p, n, salt):
+            vox = voxelize_batch_jax(p + salt, n, spec,
+                                     config.data.max_voxels, backend)
+            vw = fln.apply(fln_vars, vox.features, vox.counts, train=False)
+            if stage == "dense":
+                dense = scatter_to_dense(vw, vox.coords, vox.counts,
+                                         config.object.grid_size)
+                return dense.sum().astype(jnp.float32) * 0.0
+            return vw.sum().astype(jnp.float32) * 0.0
+
+        label = ("KITTI frames/sec/chip (Car, voxelize+VFE)" if stage == "vfe"
+                 else "KITTI frames/sec/chip (Car, voxelize+VFE+dense grid)")
+        return chained, label
+
+    if stage == "train":
+        from voxelnet_tpu.training import create_train_state, make_train_step
+        from voxelnet_tpu.training.optim import make_optimizer
+
+        tx = make_optimizer(config, steps_per_epoch=100)
+        state_holder = [create_train_state(config, tx, jax.random.key(0))]
+        step = make_train_step(config, tx, donate=True)
+        gt = np.zeros((BATCH, config.data.max_gt_boxes, 7), np.float32)
+        gt[:, 0] = [20.0, 0.0, -1.0, 1.56, 1.6, 3.9, 0.3]
+        gt_mask = np.zeros((BATCH, config.data.max_gt_boxes), bool)
+        gt_mask[:, 0] = True
+        gt = jax.device_put(gt)
+        gt_mask = jax.device_put(gt_mask)
+
+        def chained(p, n, salt):
+            batch = {"points": p + salt, "num_points": n,
+                     "gt_boxes": gt, "gt_mask": gt_mask}
+            state_holder[0], metrics = step(state_holder[0], batch)
+            return metrics["loss"] * 0.0
+
+        return chained, ("KITTI frames/sec/chip (Car, training step incl. "
+                         "on-device targets+grads+SGD)")
+
+    raise SystemExit(f"unknown stage {stage!r}")
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="infer",
+                    choices=("vfe", "dense", "infer", "train"))
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
     from voxelnet_tpu.config import get_config
-    from voxelnet_tpu.models.voxelnet import init_params, make_inference_fn
 
     config = get_config("Car")
-    variables = init_params(config, jax.random.key(0))
-    infer = make_inference_fn(config)
-
-    # Chain a zero-valued salt through iterations so the device executes
-    # every step serially and ONE final value fetch closes the pipeline.
-    # (On tunneled backends, block_until_ready/per-step fetches measure
-    # round-trip latency, not device throughput.)
-    @jax.jit
-    def chained(variables, p, n, salt):
-        det = infer(variables, p + salt, n)
-        return det, det.scores.sum() * 0.0
+    chained, label = _make_stage_fn(args.stage, config)
 
     batches = load_frames(config.data.max_points, BATCH)
     dev_batches = [(jax.device_put(p), jax.device_put(n))
                    for p, n in batches]
 
-    # warmup / compile
-    _, salt = chained(variables, *dev_batches[0], jnp.float32(0))
-    float(salt)
+    # Chain a zero-valued salt through iterations so the device executes
+    # every step serially and ONE final value fetch closes the pipeline.
+    # (On tunneled backends, block_until_ready/per-step fetches measure
+    # round-trip latency, not device throughput.)
+    salt = chained(*dev_batches[0], jnp.float32(0))
+    float(salt)  # warmup / compile
 
     salt = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(ITERS):
         p, n = dev_batches[i % len(dev_batches)]
-        _, salt = chained(variables, p, n, salt)
+        salt = chained(p, n, salt)
     float(salt)  # forces the whole chain
     elapsed = time.perf_counter() - t0
 
     fps = BATCH * ITERS / elapsed
     result = {
-        "metric": "KITTI frames/sec/chip (Car, inference, full graph "
-                  "incl. voxelize+rotated-NMS)",
+        "metric": label,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 2) if BASELINE_FPS else None,
+        "vs_baseline": (round(fps / BASELINE_FPS, 2)
+                        if BASELINE_FPS and args.stage == "infer" else None),
     }
     print(json.dumps(result))
 

@@ -37,38 +37,54 @@ def main(argv=None):
     p.add_argument("--cfg", type=str, default=None,
                    help="YAML config override file")
     p.add_argument("--class-name", type=str, default="Car",
-                   choices=("Car", "Pedestrian", "Cyclist"))
+                   choices=("Car", "Pedestrian", "Cyclist", "all"),
+                   help="'all' trains one model per class sequentially "
+                        "(multi-class coverage; the reference supports one "
+                        "class per process, voxelnet/config.py:37)")
     p.add_argument("--exp-base", type=str, default="exps")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume from")
     p.add_argument("--print-interval", type=int, default=100)
     p.add_argument("--summary-interval", type=int, default=100)
     p.add_argument("--summary-val-interval", type=int, default=100)
+    p.add_argument("--profile-steps", type=str, default=None,
+                   help="START:STOP global-step window traced with "
+                        "jax.profiler into the exp logs dir")
     args = p.parse_args(argv)
 
-    config = get_config(args.class_name)
-    if args.cfg:
-        config = config.merge_from_file(args.cfg)
-    if args.data_dir:
-        config = config.replace(
-            data=config.data.__class__(
-                **{**config.data.__dict__, "dir": args.data_dir}))
-    print(config.dump_yaml())
+    classes = (("Car", "Pedestrian", "Cyclist")
+               if args.class_name == "all" else (args.class_name,))
+    profile_steps = None
+    if args.profile_steps:
+        a, b = args.profile_steps.split(":")
+        profile_steps = (int(a), int(b))
 
     import os
 
-    trainer = Trainer(
-        config,
-        train_dir=os.path.join(config.data.dir, "training"),
-        val_dir=os.path.join(config.data.dir, "validation"),
-        exp_base=args.exp_base,
-        resume_from=args.resume,
-    )
-    trainer.train(
-        print_interval=args.print_interval,
-        summary_interval=args.summary_interval,
-        val_interval=args.summary_val_interval,
-    )
+    for cls_name in classes:
+        config = get_config(cls_name)
+        if args.cfg:
+            config = config.merge_from_file(args.cfg)
+        if args.data_dir:
+            config = config.replace(
+                data=config.data.__class__(
+                    **{**config.data.__dict__, "dir": args.data_dir}))
+        print(config.dump_yaml())
+
+        trainer = Trainer(
+            config,
+            train_dir=os.path.join(config.data.dir, "training"),
+            val_dir=os.path.join(config.data.dir, "validation"),
+            exp_base=(args.exp_base if len(classes) == 1
+                      else os.path.join(args.exp_base, cls_name)),
+            resume_from=args.resume,
+        )
+        trainer.train(
+            print_interval=args.print_interval,
+            summary_interval=args.summary_interval,
+            val_interval=args.summary_val_interval,
+            profile_steps=profile_steps,
+        )
 
 
 if __name__ == "__main__":

@@ -178,11 +178,21 @@ class Trainer:
 
     # -- main loop --------------------------------------------------------
     def train(self, print_interval: int = 100, summary_interval: int = 100,
-              val_interval: int = 100, dump_val_labels: bool = True):
+              val_interval: int = 100, dump_val_labels: bool = True,
+              profile_steps: tuple[int, int] | None = None):
+        """Run training.
+
+        profile_steps: optional (start, stop) global-step window traced
+        with jax.profiler into <exp_dir>/logs/plugins/profile (viewable in
+        TensorBoard) — the tracing subsystem the reference lacks
+        (SURVEY.md §5; its only instrumentation is wall-clock prints,
+        voxelnet/train.py:144-162).
+        """
         cfg = self.config
         min_loss = float("inf")
         global_step = int(self.state.step)
         val_iter = None
+        profiling = False
 
         for epoch in range(self.start_epoch, cfg.train.num_epochs):
             epoch_start = time.time()
@@ -191,8 +201,18 @@ class Trainer:
                 self.train_ds, cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch)
             for i, batch in enumerate(it):
-                self.state, metrics = self.train_step(
-                    self.state, self._device_batch(batch))
+                if profile_steps is not None:
+                    if global_step == profile_steps[0] and not profiling:
+                        jax.profiler.start_trace(
+                            os.path.join(self.exp_dir, "logs"))
+                        profiling = True
+                    elif global_step >= profile_steps[1] and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                with jax.profiler.StepTraceAnnotation(
+                        "train", step_num=global_step):
+                    self.state, metrics = self.train_step(
+                        self.state, self._device_batch(batch))
                 global_step += 1
 
                 if (i + 1) % print_interval == 0:
@@ -239,6 +259,8 @@ class Trainer:
             print(f"Epoch {epoch + 1} time {time.time() - epoch_start:.1f}s "
                   f"avg_val_loss {avg_val:.4f} best={is_best}")
 
+        if profiling:
+            jax.profiler.stop_trace()
         if self.summary is not None:
             self.summary.close()
 
