@@ -1,0 +1,127 @@
+"""Input pipeline: threaded host prefetch + device staging.
+
+The reference relies on torch DataLoader worker processes
+(voxelnet/train.py:77-93). TPU-native equivalent: a bounded
+producer/consumer pipeline that overlaps host-side example assembly
+(file IO, label parsing, padding, optional augmentation) with device
+compute, and stages the next batch onto the device while the current
+step runs.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+
+class PrefetchIterator:
+    """Run a source iterator in one background thread, keeping up to
+    `depth` items ready — overlaps host batch assembly with device steps
+    while preserving order."""
+
+    _DONE = object()
+
+    def __init__(self, make_iterator: Callable[[], Iterator[dict]],
+                 depth: int = 4):
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._error = None
+        self._thread = threading.Thread(
+            target=self._produce, args=(make_iterator(),), daemon=True)
+        self._thread.start()
+
+    def _produce(self, source):
+        try:
+            for item in source:
+                self._queue.put(item)
+        except Exception as e:  # surfaced on the consumer side
+            self._error = e
+        finally:
+            self._queue.put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._DONE:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+
+class LazyBatchIterator:
+    """Assemble batches lazily in background threads.
+
+    Unlike PrefetchIterator over a finished iterator, this distributes the
+    per-example work (file IO, voxelization when host_voxelize, padding)
+    across `workers` threads — numpy releases the GIL for the heavy parts.
+    """
+
+    _DONE = object()
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, workers: int = 4, depth: int = 8,
+                 drop_remainder: bool = True):
+        from voxelnet_tpu.data.dataset import collate
+
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        chunks = []
+        n = len(order)
+        for start in range(0, n, batch_size):
+            idxs = order[start:start + batch_size]
+            if len(idxs) < batch_size:
+                if drop_remainder:
+                    break
+                idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
+            chunks.append(idxs)
+
+        self._collate = collate
+        self._dataset = dataset
+        self._work: queue.Queue = queue.Queue()
+        self._out: queue.Queue = queue.Queue(maxsize=depth)
+        self._error = None
+        for c in chunks:
+            self._work.put(c)
+        workers = max(1, min(workers, len(chunks) or 1))
+        for _ in range(workers):
+            self._work.put(self._DONE)
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(workers)]
+        for t in self._threads:
+            t.start()
+        self._live = workers
+
+    def _worker(self):
+        try:
+            while True:
+                idxs = self._work.get()
+                if idxs is self._DONE:
+                    break
+                batch = self._collate(
+                    [self._dataset[int(i)] for i in idxs])
+                self._out.put(batch)
+        except Exception as e:
+            self._error = e
+        finally:
+            self._out.put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            item = self._out.get()
+            if item is self._DONE:
+                self._live -= 1
+                if self._error is not None:
+                    raise self._error
+                if self._live <= 0:
+                    raise StopIteration
+                continue
+            return item

@@ -197,9 +197,12 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.train.num_epochs):
             epoch_start = time.time()
             tot_val_loss, tot_val_times = 0.0, 0
-            it = make_batch_iterator(
+            from voxelnet_tpu.data.pipeline import LazyBatchIterator
+
+            it = LazyBatchIterator(
                 self.train_ds, cfg.train.batch_size, shuffle=True,
-                seed=cfg.train.seed + epoch)
+                seed=cfg.train.seed + epoch,
+                workers=cfg.train.num_workers)
             for i, batch in enumerate(it):
                 if profile_steps is not None:
                     if global_step == profile_steps[0] and not profiling:
