@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--eval-frames", type=int, default=24)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=0.005)
+    ap.add_argument("--save-checkpoint", type=str, default=None,
+                    help="save trained variables (Orbax) here for the "
+                         "predict CLI")
+    ap.add_argument("--save-frame", type=str, default=None,
+                    help="dump one eval frame's points as a KITTI .bin")
     args = ap.parse_args()
 
     import jax
@@ -145,6 +150,16 @@ def main():
     # --- evaluation on held-out frames via the full inference graph
     infer = jax.jit(make_inference_fn(cfg))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.save_checkpoint:
+        from voxelnet_tpu.training.checkpoint import save_single
+
+        save_single(args.save_checkpoint, variables)
+        print(f"checkpoint saved to {args.save_checkpoint}", flush=True)
+    if args.save_frame:
+        p, _b = synth_frame(np.random.default_rng(123))
+        p.astype(np.float32).tofile(args.save_frame)
+        print(f"frame saved to {args.save_frame}", flush=True)
     frames = []
     for _ in range(args.eval_frames // args.batch):
         p, n, g, m, raw_gts = make_batch(args.batch)
