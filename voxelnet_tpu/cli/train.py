@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--profile-steps", type=str, default=None,
                    help="START:STOP global-step window traced with "
                         "jax.profiler into the exp logs dir")
+    p.add_argument("--num-vis-dump", type=int, default=0,
+                   help="per-epoch front/BEV/heatmap JPEG triplets to dump "
+                        "(reference default 50, voxelnet/train.py:39)")
     args = p.parse_args(argv)
 
     classes = (("Car", "Pedestrian", "Cyclist")
@@ -84,6 +87,7 @@ def main(argv=None):
             summary_interval=args.summary_interval,
             val_interval=args.summary_val_interval,
             profile_steps=profile_steps,
+            num_vis_dump=args.num_vis_dump,
         )
 
 

@@ -179,7 +179,8 @@ class Trainer:
     # -- main loop --------------------------------------------------------
     def train(self, print_interval: int = 100, summary_interval: int = 100,
               val_interval: int = 100, dump_val_labels: bool = True,
-              profile_steps: tuple[int, int] | None = None):
+              profile_steps: tuple[int, int] | None = None,
+              num_vis_dump: int = 0):
         """Run training.
 
         profile_steps: optional (start, stop) global-step window traced
@@ -257,7 +258,7 @@ class Trainer:
             self.ckpt.save(epoch, self.state, {"val_loss": avg_val})
 
             if dump_val_labels:
-                self.dump_val_predictions(epoch)
+                self.dump_val_predictions(epoch, num_vis_dump=num_vis_dump)
 
             print(f"Epoch {epoch + 1} time {time.time() - epoch_start:.1f}s "
                   f"avg_val_loss {avg_val:.4f} best={is_best}")
@@ -267,13 +268,18 @@ class Trainer:
         if self.summary is not None:
             self.summary.close()
 
-    def dump_val_predictions(self, epoch: int, max_frames: int | None = None):
-        """Full-val sweep -> KITTI label files (voxelnet/train.py:205-232)."""
+    def dump_val_predictions(self, epoch: int, max_frames: int | None = None,
+                             num_vis_dump: int = 0):
+        """Full-val sweep -> KITTI label files (voxelnet/train.py:205-232),
+        plus up to `num_vis_dump` front/BEV/heatmap JPEG triplets
+        (voxelnet/train.py:235-259)."""
         cfg = self.config
         out_dir = os.path.join(
             self.exp_dir, "preds", str(epoch + 1), "data")
         os.makedirs(out_dir, exist_ok=True)
+        vis_dir = os.path.join(self.exp_dir, "vis", str(epoch + 1))
         seen = 0
+        vis_count = 0
         for batch in make_batch_iterator(
                 self.val_ds, cfg.val.batch_size, shuffle=False,
                 drop_remainder=False):
@@ -297,6 +303,45 @@ class Trainer:
                     P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
                 with open(os.path.join(out_dir, tag + ".txt"), "w") as f:
                     f.writelines(lines)
+
+                if vis_count < num_vis_dump:
+                    try:
+                        self._dump_vis_triplet(
+                            vis_dir, tag, batch, b, frame_boxes,
+                            np.asarray(probs[b]), P, Tr, R)
+                        vis_count += 1
+                    except Exception:
+                        pass  # viz is best-effort (missing image/cv2)
                 seen += 1
                 if max_frames and seen >= max_frames:
                     return
+
+    def _dump_vis_triplet(self, vis_dir, tag, batch, b, pred_boxes, probs,
+                          P, Tr, R):
+        """Write <tag>_front.jpg / _bv.jpg / _heatmap.jpg like the
+        reference's per-epoch vis dump (voxelnet/train.py:238-259)."""
+        import cv2
+
+        from voxelnet_tpu.utils import viz
+
+        os.makedirs(vis_dir, exist_ok=True)
+        gt = np.asarray(batch["gt_boxes"][b])[np.asarray(batch["gt_mask"][b])]
+        points = np.asarray(batch["points"][b])[: int(batch["num_points"][b])]
+
+        img_path = os.path.join(self.val_ds.data_dir, "image_2", tag + ".png")
+        img = cv2.imread(img_path) if os.path.exists(img_path) else None
+        if img is not None:
+            front = viz.draw_boxes3d_on_image(
+                img, pred_boxes, gt, P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
+            cv2.imwrite(os.path.join(vis_dir, tag + "_front.jpg"),
+                        cv2.cvtColor(front, cv2.COLOR_RGB2BGR))
+
+        bev = viz.lidar_to_bev_image(points, self.config.object, factor=2)
+        bev = viz.draw_boxes3d_on_bev(bev, pred_boxes, self.config.object,
+                                      gt_boxes3d=gt, factor=2)
+        cv2.imwrite(os.path.join(vis_dir, tag + "_bv.jpg"),
+                    cv2.cvtColor(bev, cv2.COLOR_RGB2BGR))
+
+        heat = viz.colorize_heatmap(probs.transpose(2, 0, 1), factor=2)
+        cv2.imwrite(os.path.join(vis_dir, tag + "_heatmap.jpg"),
+                    cv2.cvtColor(heat, cv2.COLOR_RGB2BGR))
