@@ -147,3 +147,32 @@ def test_prefetch_propagates_errors(tiny_config):
     assert next(it)["ok"] == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_item_rng_thread_safety_and_determinism(kitti_dir, tiny_config):
+    """Per-(item, epoch) RNG: same example twice -> identical buffers
+    (thread-safe), different epochs -> different point order."""
+    ds = KITTIDataset(kitti_dir, tiny_config)
+    a = ds[0]
+    b = ds[0]
+    np.testing.assert_array_equal(a.points, b.points)
+
+    ds.set_epoch(1)
+    c = ds[0]
+    assert not np.array_equal(a.points, c.points)  # reshuffled
+    assert int(c.num_points) == int(a.num_points)
+    # (the kept subset legitimately differs when the frame has more points
+    # than the bucket, so only the shapes/counts are comparable)
+
+
+def test_lazy_iterator_matches_serial(kitti_dir, tiny_config):
+    """Threaded assembly yields the exact same examples as serial access."""
+    from voxelnet_tpu.data.pipeline import LazyBatchIterator
+
+    ds = KITTIDataset(kitti_dir, tiny_config)
+    threaded = {}
+    for b in LazyBatchIterator(ds, 1, shuffle=False, workers=4):
+        threaded[b["tags"][0]] = b["points"][0]
+    for i in range(len(ds)):
+        ex = ds[i]
+        np.testing.assert_array_equal(threaded[ex.tag], ex.points)

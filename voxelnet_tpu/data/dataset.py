@@ -52,7 +52,8 @@ class KITTIDataset:
         self.augment = augment
         self.test = test
         self.host_voxelize = host_voxelize
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.spec = VoxelGridSpec.from_object_config(config.object)
 
         velo_dir = os.path.join(data_dir, "velodyne")
@@ -67,6 +68,18 @@ class KITTIDataset:
     def __len__(self) -> int:
         return len(self.tags)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Vary the per-item RNG streams across epochs (augmentation /
+        point shuffling); called by the trainer each epoch."""
+        self.epoch = epoch
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        """Deterministic per-(item, epoch) RNG — examples are assembled
+        concurrently by pipeline threads, and a shared Generator is not
+        thread-safe."""
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, idx]))
+
     def _paths(self, tag: str):
         return (
             os.path.join(self.data_dir, "image_2", tag + ".png"),
@@ -75,6 +88,7 @@ class KITTIDataset:
         )
 
     def __getitem__(self, idx: int) -> Example:
+        rng = self._item_rng(idx)
         tag = self.tags[idx]
         img_path, velo_path, label_path = self._paths(tag)
         points = kitti.read_point_cloud(velo_path)
@@ -88,7 +102,7 @@ class KITTIDataset:
             gt_cam = kitti.parse_label_lines(label_lines, cls_name="",
                                              coordinate="camera")
             points, gt_cam, suffix = augment_lib.augment_pointcloud(
-                points, gt_cam, self.rng)
+                points, gt_cam, rng)
             classes = kitti.parse_label_classes(label_lines)
             label_lines = kitti.boxes_to_label_lines(
                 gt_cam, classes, coordinate="camera")
@@ -101,7 +115,7 @@ class KITTIDataset:
             gt_lidar, self.config.data.max_gt_boxes)
 
         if self.config.data.shuffle_points:
-            points = points[self.rng.permutation(len(points))]
+            points = points[rng.permutation(len(points))]
         n = min(len(points), self.config.data.max_points)
         pts = np.zeros((self.config.data.max_points, 4), np.float32)
         pts[:n] = points[:n]

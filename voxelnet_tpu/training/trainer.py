@@ -200,6 +200,7 @@ class Trainer:
             tot_val_loss, tot_val_times = 0.0, 0
             from voxelnet_tpu.data.pipeline import LazyBatchIterator
 
+            self.train_ds.set_epoch(epoch)
             it = LazyBatchIterator(
                 self.train_ds, cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch,
