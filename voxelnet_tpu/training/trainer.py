@@ -253,16 +253,20 @@ class Trainer:
                     tot_val_times += 1
 
             avg_val = (tot_val_loss / tot_val_times
-                       if tot_val_times else float("inf"))
-            is_best = avg_val < min_loss
-            min_loss = min(avg_val, min_loss)
-            self.ckpt.save(epoch, self.state, {"val_loss": avg_val})
+                       if tot_val_times else None)
+            is_best = avg_val is not None and avg_val < min_loss
+            if avg_val is not None:
+                min_loss = min(avg_val, min_loss)
+            self.ckpt.save(
+                epoch, self.state,
+                {"val_loss": avg_val} if avg_val is not None else {})
 
             if dump_val_labels:
                 self.dump_val_predictions(epoch, num_vis_dump=num_vis_dump)
 
+            val_str = f"{avg_val:.4f}" if avg_val is not None else "n/a"
             print(f"Epoch {epoch + 1} time {time.time() - epoch_start:.1f}s "
-                  f"avg_val_loss {avg_val:.4f} best={is_best}")
+                  f"avg_val_loss {val_str} best={is_best}")
 
         if profiling:
             jax.profiler.stop_trace()
