@@ -154,3 +154,20 @@ def test_pallas_kernel_voxel_overflow(car_spec):
     np.testing.assert_array_equal(np.asarray(vx.counts), np.asarray(vp.counts))
     np.testing.assert_allclose(np.asarray(vx.features),
                                np.asarray(vp.features))
+
+
+def test_pallas_kernel_pedestrian_T45():
+    """T=45 (Pedestrian/Cyclist preset) works — block sizes derive from T."""
+    spec = VoxelGridSpec.from_object_config(
+        get_config("Pedestrian").object)
+    assert spec.max_points_per_voxel == 45
+    pts = _cloud(3000, seed=9)
+    padded, n = pad_points(pts, 4096)
+    vx = jax.jit(
+        lambda p, n: voxelize_jax(p, n, spec, 512, "xla"))(padded, n)
+    vp = jax.jit(
+        lambda p, n: voxelize_jax(p, n, spec, 512,
+                                  "pallas_interpret"))(padded, n)
+    np.testing.assert_array_equal(np.asarray(vx.counts), np.asarray(vp.counts))
+    np.testing.assert_allclose(np.asarray(vx.features),
+                               np.asarray(vp.features))

@@ -40,13 +40,13 @@ def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
             pred_lines = f.readlines()
         with open(gt_path) as f:
             gt_lines = f.readlines()
-        pred_boxes = kitti.parse_label_lines(pred_lines, cls_name, "lidar",
-                                             T, R)
-        scores = np.array([
-            float(line.split()[-1]) for line in pred_lines
-            if line.split() and line.split()[0] in
-            kitti.ACCEPTED_CLASSES.get(cls_name, (cls_name,))
-        ], np.float32)
+        # filter prediction lines ONCE so boxes and scores stay paired
+        pred_lines = [line for line in pred_lines
+                      if line.split() and line.split()[0] == cls_name]
+        # cls_name="" accepts every (pre-filtered) line, preserving order
+        pred_boxes = kitti.parse_label_lines(pred_lines, "", "lidar", T, R)
+        scores = np.array([float(line.split()[-1]) for line in pred_lines],
+                          np.float32)
         frames.append({
             "pred_boxes": pred_boxes,
             "pred_scores": scores,

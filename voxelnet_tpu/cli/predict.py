@@ -47,7 +47,9 @@ def main(argv=None):
 
     variables = init_params(config, jax.random.key(0))
     if args.checkpoint:
-        variables = ckpt_lib.restore_single(args.checkpoint, variables)
+        # accepts a save_single dir, a trainer step dir, or a trainer
+        # checkpoints root (latest step)
+        variables = ckpt_lib.load_variables(args.checkpoint)
 
     if os.path.isdir(args.pcl):
         files = glob.glob(os.path.join(args.pcl, "*.bin"))

@@ -61,8 +61,10 @@ class DataConfig:
     max_gt_boxes: int = 64        # padded ground-truth boxes per frame
     shuffle_points: bool = True   # reference shuffles before voxelizing
                                   # (voxelnet/utils.py:35)
-    # 'auto' -> Pallas VMEM kernel on TPU, XLA scatters elsewhere;
-    # explicit 'xla' / 'pallas' / 'pallas_interpret' override.
+    # 'auto' currently resolves to 'xla' everywhere (the Pallas run-copy
+    # kernel is correct but loses to XLA's scatters under Mosaic's lane
+    # padding — see ops/voxelize.resolve_backend); explicit
+    # 'xla' / 'pallas' / 'pallas_interpret' override.
     voxelizer_backend: str = "auto"
 
 

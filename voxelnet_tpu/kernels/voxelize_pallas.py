@@ -9,8 +9,8 @@ copies instead of N scalar scatters.
 
 Mosaic alignment rules shape the implementation: dynamic sublane offsets
 must be 8-aligned and the lane dim must be whole, so each run is fetched as
-an 8-aligned 48-row window, rotated into place with `pltpu.roll` (dynamic
-shift), and stored to an 8-aligned destination (T padded to 40 rows; the
+an 8-aligned window, rotated into place with `pltpu.roll` (dynamic
+shift), and stored to an 8-aligned destination (T padded up to the 8-row tile; the
 caller slices back to T). Rows beyond a voxel's count carry neighboring-run
 garbage and are zeroed by the vectorized epilogue in `voxelize_jax`.
 
@@ -33,8 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_WIN = 48      # aligned fetch window: covers 8-align slack (7) + T (<= 40)
-_TPAD = 40     # table rows per voxel, 8-aligned
+def _tpad(T: int) -> int:
+    """Table rows per voxel, rounded up to the 8-row sublane tile."""
+    return -(-T // 8) * 8
+
+
+def _win(T: int) -> int:
+    """Aligned fetch window: 8-align slack (up to 7 rows) + TPAD."""
+    return _tpad(T) + 8
 
 
 def _kernel(pts_ref, start_ref, table_ref):
@@ -49,14 +55,16 @@ def _kernel(pts_ref, start_ref, table_ref):
     table_ref: (1, K * TPAD, 4) f32 output.
     """
     kmax = start_ref.shape[2]
+    tpad = table_ref.shape[1] // kmax
+    win = tpad + 8
 
     def body(k, _):
         s = start_ref[0, 0, k]
         sa = pl.multiple_of((s // 8) * 8, 8)
-        win = pts_ref[0, pl.ds(sa, _WIN), :]          # (WIN, 4) aligned
-        rolled = pltpu.roll(win, sa - s, 0)           # row 0 = point s
-        dst = pl.multiple_of(k * _TPAD, 8)
-        table_ref[0, pl.ds(dst, _TPAD), :] = rolled[:_TPAD]
+        window = pts_ref[0, pl.ds(sa, win), :]        # (win, 4) aligned
+        rolled = pltpu.roll(window, sa - s, 0)        # row 0 = point s
+        dst = pl.multiple_of(k * tpad, 8)
+        table_ref[0, pl.ds(dst, tpad), :] = rolled[:tpad]
         return 0
 
     jax.lax.fori_loop(0, kmax, body, 0)
@@ -71,26 +79,25 @@ def build_voxel_table(sorted_pts: jnp.ndarray, run_start: jnp.ndarray,
     pallas_call produces squeezed block dims Mosaic rejects).
     `interpret=True` runs the Pallas interpreter (CPU tests).
     """
-    if T > _TPAD:
-        raise ValueError(f"T={T} exceeds kernel block {_TPAD}")
+    tpad, win = _tpad(T), _win(T)
     b, n, _ = sorted_pts.shape
     padded = jnp.concatenate(
-        [sorted_pts, jnp.zeros((b, _WIN, 4), jnp.float32)], axis=1)
+        [sorted_pts, jnp.zeros((b, win, 4), jnp.float32)], axis=1)
 
     table = pl.pallas_call(
         _kernel,
         grid=(b,),
         out_shape=jax.ShapeDtypeStruct(
-            (b, max_voxels * _TPAD, 4), jnp.float32),
+            (b, max_voxels * tpad, 4), jnp.float32),
         in_specs=[
-            pl.BlockSpec((1, n + _WIN, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n + win, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, max_voxels), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, max_voxels * _TPAD, 4),
+        out_specs=pl.BlockSpec((1, max_voxels * tpad, 4),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(padded, run_start[:, None, :])
-    return table.reshape(b, max_voxels, _TPAD, 4)[:, :, :T, :]
+    return table.reshape(b, max_voxels, tpad, 4)[:, :, :T, :]

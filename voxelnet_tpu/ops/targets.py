@@ -92,8 +92,7 @@ def assign_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
     # overlap -1 so they never block). The reference leaves its
     # pos/neg-exclusivity fix commented out (voxelnet/utils.py:464-471) so an
     # anchor can be both; we keep them exclusive — the intended semantics.
-    any_high = (jnp.where(gt_mask[None, :], overlaps, -1.0)
-                >= neg_iou).any(axis=1)
+    any_high = (overlaps >= neg_iou).any(axis=1)  # invalid GTs carry -1
     neg = (1.0 - any_high.astype(jnp.float32)) * (1.0 - pos)
 
     matched = gt_boxes[best_gt]                                # (A, 7)

@@ -71,6 +71,11 @@ def voxelize_np(points: np.ndarray, spec: VoxelGridSpec,
     arrival order, then append offsets from the per-voxel centroid of the
     stored points. `shuffle` reproduces the reference's pre-shuffle
     (voxelnet/utils.py:35); pass an rng for determinism.
+
+    Documented deviation: when K exceeds `max_voxels` (a bucketing concept
+    the ragged reference does not have), the kept subset is the lowest
+    (z, y, x) grid ids — deterministic, but spatially biased toward low
+    y/x. Size buckets generously for crowded scenes.
     """
     D, H, W = spec.grid_dzyx
     T = spec.max_points_per_voxel
@@ -256,7 +261,8 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
 
     Returns Voxels with features (K_max, T, 7), coords (K_max, 3),
     counts (K_max,) and scalar num_voxels. Padding voxels have coords
-    (0,0,0) and count 0.
+    (0,0,0) and count 0. When K exceeds max_voxels, the lowest-(z, y, x)
+    voxels are kept (deterministic; see voxelize_np docstring).
 
     Design: sort by linear voxel id carrying the payload (XLA multi-operand
     sort), segmented run analysis with vector ops, then either XLA scatters

@@ -58,13 +58,3 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return out
 
 
-def constrain_spatial(x, spec: P = P(None, None, None, "model", None)):
-    """Best-effort sharding constraint (no-op outside a mesh context).
-
-    Used inside the model to pin the dense (B, D, H, W, C) grid's W axis to
-    the 'model' mesh axis when one is active.
-    """
-    try:
-        return jax.lax.with_sharding_constraint(x, spec)
-    except Exception:
-        return x

@@ -69,3 +69,38 @@ def restore_single(path: str, abstract_state: Any) -> Any:
     ckpt = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
     return ckpt.restore(os.path.abspath(path), target)
+
+
+def load_variables(path: str) -> dict:
+    """Load model variables {'params', 'batch_stats'} from ANY checkpoint
+    layout this framework writes:
+
+      * a `save_single` variables checkpoint (bare dict),
+      * a CheckpointManager step dir (`.../checkpoints/<step>` with the
+        TrainState under `default/`),
+      * a CheckpointManager root (`.../checkpoints` — picks the latest step).
+
+    Restores without a target tree (raw pytree) so the caller does not need
+    to reconstruct the optimizer state structure.
+    """
+    p = os.path.abspath(path)
+    if os.path.isdir(os.path.join(p, "default")):
+        p = os.path.join(p, "default")
+    elif not os.path.exists(os.path.join(p, "_METADATA")):
+        steps = sorted(int(d) for d in os.listdir(p) if d.isdigit())
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint found under {path}")
+        p = os.path.join(p, str(steps[-1]), "default")
+
+    ckptr = ocp.StandardCheckpointer()
+    # build a sharding-free target from the checkpoint's own metadata, so
+    # checkpoints written under a device mesh restore on any topology
+    meta = ckptr.metadata(p).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta)
+    raw = ckptr.restore(p, target)
+    if "params" in raw and "batch_stats" in raw:
+        return {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+    return raw

@@ -25,21 +25,37 @@ DIFFICULTY = {
 }
 
 
+# KITTI devkit "neighboring classes": detections matched to these are
+# neither TPs nor FPs, and they never count toward num_gt.
+IGNORED_NEIGHBORS = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
+
+
 @dataclass
 class GroundTruth:
     boxes_lidar: np.ndarray   # (N, 7)
     bbox_height: np.ndarray   # (N,) 2D box height in px
     occlusion: np.ndarray     # (N,) int
     truncation: np.ndarray    # (N,) float
+    ignored: np.ndarray = None  # (N,) bool — neighboring-class boxes
+
+    def __post_init__(self):
+        if self.ignored is None:
+            self.ignored = np.zeros(len(self.boxes_lidar), bool)
 
 
 def parse_gt_for_eval(label_lines, cls_name="Car",
                       T_VELO_2_CAM=None, R_RECT_0=None) -> GroundTruth:
-    """Parse one frame's label lines keeping difficulty metadata."""
-    from voxelnet_tpu.utils import geometry, kitti
+    """Parse one frame's label lines keeping difficulty metadata.
 
-    acc = kitti.ACCEPTED_CLASSES.get(cls_name, (cls_name,))
-    rows, hts, occ, trunc = [], [], [], []
+    Neighboring classes (Van for Car, Person_sitting for Pedestrian) are
+    kept but flagged `ignored`: the devkit neither requires nor penalizes
+    detecting them.
+    """
+    from voxelnet_tpu.utils import geometry
+
+    neighbors = IGNORED_NEIGHBORS.get(cls_name, ())
+    acc = (cls_name,) + tuple(neighbors)
+    rows, hts, occ, trunc, ign = [], [], [], [], []
     for line in label_lines:
         f = line.split()
         if not f or f[0] not in acc:
@@ -49,12 +65,14 @@ def parse_gt_for_eval(label_lines, cls_name="Car",
         hts.append(float(f[7]) - float(f[5]))   # y2 - y1
         occ.append(int(float(f[2])))
         trunc.append(float(f[1]))
+        ign.append(f[0] in neighbors)
     cam = np.asarray(rows, np.float32).reshape(-1, 7)
     lidar = (geometry.camera_to_lidar_boxes(cam, T_VELO_2_CAM, R_RECT_0)
              .astype(np.float32) if len(cam) else cam)
     return GroundTruth(lidar, np.asarray(hts, np.float32),
                        np.asarray(occ, np.int32),
-                       np.asarray(trunc, np.float32))
+                       np.asarray(trunc, np.float32),
+                       np.asarray(ign, bool))
 
 
 def box3d_iou(box1: np.ndarray, box2: np.ndarray, mode: str = "3d") -> float:
@@ -117,7 +135,8 @@ def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
             gt: GroundTruth = fr["gt"]
             care = ((gt.bbox_height >= min_h)
                     & (gt.occlusion <= max_occ)
-                    & (gt.truncation <= max_trunc))
+                    & (gt.truncation <= max_trunc)
+                    & ~gt.ignored)
             num_gt += int(care.sum())
             pred_boxes = np.asarray(fr["pred_boxes"]).reshape(-1, 7)
             pred_scores = np.asarray(fr["pred_scores"]).reshape(-1)

@@ -98,6 +98,12 @@ class Trainer:
             num_model=config.system.num_model_shards,
         ) if (config.system.num_data_shards
               * config.system.num_model_shards) > 1 else None
+        if self.mesh is not None:
+            # activate for the trainer's lifetime — the model's
+            # with_sharding_constraint (spatial W-sharding) requires a mesh
+            # context at trace time
+            self._mesh_ctx = jax.set_mesh(self.mesh)
+            self._mesh_ctx.__enter__()
 
         self.state = create_train_state(
             config, self.tx, jax.random.key(config.train.seed))
@@ -237,7 +243,11 @@ class Trainer:
                     except StopIteration:
                         val_iter = make_batch_iterator(
                             self.val_ds, cfg.val.batch_size, shuffle=False)
-                        val_batch = next(val_iter)
+                        val_batch = next(val_iter, None)
+                    if val_batch is None:
+                        # val set smaller than the val batch size: skip
+                        # sampled validation rather than abort the epoch
+                        continue
                     vmet, vprobs, vdeltas = self.eval_step(
                         self.state, self._device_batch(val_batch))
                     # NOTE: the reference logs *training* loss under its
