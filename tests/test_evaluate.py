@@ -92,3 +92,114 @@ def test_parse_gt_for_eval():
     assert gt.bbox_height[0] == pytest.approx(200.12 - 143.33)
     assert gt.occlusion[0] == 1
     assert gt.truncation[0] == pytest.approx(0.10)
+
+
+def test_iou_np_matches_device_kernel():
+    """ops.iou_np (host eval path) must agree with ops.iou (device path)."""
+    import jax.numpy as jnp
+
+    from voxelnet_tpu.ops import iou as iou_jax
+    from voxelnet_tpu.ops.iou_np import rotated_iou_np
+
+    rng = np.random.default_rng(7)
+    n, k = 23, 17
+    b1 = np.stack([rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+                   rng.uniform(0.5, 3, n), rng.uniform(0.5, 5, n),
+                   rng.uniform(-np.pi, np.pi, n)], axis=1)
+    b2 = np.stack([rng.uniform(-20, 20, k), rng.uniform(-20, 20, k),
+                   rng.uniform(0.5, 3, k), rng.uniform(0.5, 5, k),
+                   rng.uniform(-np.pi, np.pi, k)], axis=1)
+    # overlap some pairs deliberately
+    b2[:5, :2] = b1[:5, :2] + rng.uniform(-1, 1, (5, 2))
+    got = rotated_iou_np(b1, b2)
+    want = np.asarray(iou_jax.rotated_iou(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ap_40_point():
+    """1 TP + 1 FP over 2 GT: recall plateau 0.5 at precision 1.0.
+    40-point AP = 20/40 (no r=0 sample, unlike 11-point's 6/11)."""
+    frames = [{
+        "pred_boxes": np.asarray([BOX, [50, 20, -1, 1.5, 1.6, 3.9, 0]],
+                                 np.float32),
+        "pred_scores": np.asarray([0.9, 0.8], np.float32),
+        "gt": _gt([BOX, [30, -10, -1, 1.5, 1.6, 3.9, 0]]),
+    }]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d", num_points=40)
+    assert ap["moderate"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_small_detection_neither_tp_nor_fp():
+    """Devkit rule: a detection whose projected 2D height is below the
+    difficulty's min height is dropped from the PR curve, not an FP."""
+    far = [50.0, 20.0, -1.0, 1.5, 1.6, 3.9, 0.0]
+    frames = [{
+        "pred_boxes": np.asarray([BOX, far], np.float32),
+        "pred_scores": np.asarray([0.9, 0.8], np.float32),
+        "pred_heights": np.asarray([100.0, 10.0], np.float32),  # far is tiny
+        "gt": _gt([BOX]),
+    }]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert ap["moderate"] == pytest.approx(1.0)
+    # without the heights the far box is a plain FP -> AP stays 1.0 only
+    # because it ranks below the TP; flip scores to prove the rule matters
+    frames[0]["pred_scores"] = np.asarray([0.8, 0.9], np.float32)
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert ap["moderate"] == pytest.approx(1.0)
+    del frames[0]["pred_heights"]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert ap["moderate"] < 1.0
+
+
+def test_small_detection_cannot_steal_gt():
+    """A small (ignored) detection that overlaps a care GT must not block
+    a real detection from matching it."""
+    frames = [{
+        "pred_boxes": np.asarray([BOX, BOX], np.float32),
+        "pred_scores": np.asarray([0.95, 0.5], np.float32),
+        "pred_heights": np.asarray([10.0, 100.0], np.float32),
+        "gt": _gt([BOX]),
+    }]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert ap["moderate"] == pytest.approx(1.0)
+
+
+def test_aos_perfect_and_flipped():
+    gt = _gt([BOX])
+    gt.alpha = np.asarray([0.3], np.float32)
+    frames = [{
+        "pred_boxes": np.asarray([BOX], np.float32),
+        "pred_scores": np.asarray([0.9], np.float32),
+        "pred_alphas": np.asarray([0.3], np.float32),
+        "gt": gt,
+    }]
+    res = evaluate_ap(frames, iou_thresh=0.7, mode="3d", compute_aos=True)
+    assert res["moderate_aos"] == pytest.approx(res["moderate"])
+    frames[0]["pred_alphas"] = np.asarray([0.3 + np.pi], np.float32)
+    res = evaluate_ap(frames, iou_thresh=0.7, mode="3d", compute_aos=True)
+    assert res["moderate_aos"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_eval_speed_vectorized():
+    """Full-frame matching must be matrix-driven: 100 frames x (64 pred,
+    32 gt) in well under a second (the round-1 per-pair Python loop took
+    minutes at this scale)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(100):
+        p, g = 64, 32
+        gt_boxes = np.stack([
+            rng.uniform(0, 70, g), rng.uniform(-40, 40, g),
+            np.full(g, -1.0), np.full(g, 1.5), np.full(g, 1.6),
+            np.full(g, 3.9), rng.uniform(-np.pi, np.pi, g)], 1)
+        pred = gt_boxes[rng.integers(0, g, p)] + rng.normal(0, 0.3, (p, 7))
+        frames.append({
+            "pred_boxes": pred.astype(np.float32),
+            "pred_scores": rng.uniform(0, 1, p).astype(np.float32),
+            "gt": _gt(gt_boxes),
+        })
+    t0 = time.perf_counter()
+    evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert time.perf_counter() - t0 < 5.0

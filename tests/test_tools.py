@@ -1,0 +1,85 @@
+"""Tests for the dataset split and crop tools (reference:
+split_dataset.py:7-63, preprocess_data.py:13-160)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from voxelnet_tpu.data import preprocess, split
+from voxelnet_tpu.utils import kitti
+
+CALIB = """P0: 700 0 600 0 0 700 180 0 0 0 1 0
+P1: 700 0 600 0 0 700 180 0 0 0 1 0
+P2: 700 0 600 0 0 700 180 0 0 0 1 0
+P3: 700 0 600 0 0 700 180 0 0 0 1 0
+R0_rect: 1 0 0 0 1 0 0 0 1
+Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0
+Tr_imu_to_velo: 1 0 0 0 0 1 0 0 0 0 1 0
+"""
+
+
+@pytest.fixture()
+def kitti_training(tmp_path):
+    root = tmp_path / "training"
+    for sub in ("image_2", "velodyne", "label_2", "calib"):
+        os.makedirs(root / sub)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        pts = np.concatenate([
+            rng.uniform([2, -5, -2], [40, 5, 1], (500, 3)),
+            rng.uniform(0, 1, (500, 1))], axis=1).astype(np.float32)
+        pts.tofile(root / "velodyne" / f"{i:06d}.bin")
+        (root / "label_2" / f"{i:06d}.txt").write_text("dummy\n")
+        (root / "image_2" / f"{i:06d}.png").write_bytes(b"x")
+        (root / "calib" / f"{i:06d}.txt").write_text(CALIB)
+    return root
+
+
+def test_split_copies_triplets(kitti_training, tmp_path):
+    out = tmp_path / "MD_KITTI"
+    counts = split.rearrange(str(kitti_training), str(out),
+                             ["000000", "000001", "000009"], ["000002"])
+    assert counts == {"training": 2, "validation": 1, "missing": 1}
+    for sub in ("image_2", "velodyne", "label_2"):
+        assert sorted(os.listdir(out / "training" / sub)) == [
+            "000000" + split.EXTS[sub], "000001" + split.EXTS[sub]]
+        assert os.listdir(out / "validation" / sub) == [
+            "000002" + split.EXTS[sub]]
+
+
+def test_split_symlink_mode(kitti_training, tmp_path):
+    out = tmp_path / "MD_KITTI"
+    split.rearrange(str(kitti_training), str(out), ["000000"], [],
+                    symlink=True)
+    assert os.path.islink(out / "training" / "velodyne" / "000000.bin")
+
+
+def test_preprocess_crops_in_place_and_archives(kitti_training):
+    velo = kitti_training / "velodyne"
+    calib = kitti_training / "calib"
+    archive = kitti_training / "velodyne_original"
+    before = {f: kitti.read_point_cloud(str(velo / f))
+              for f in os.listdir(velo)}
+    n = preprocess.align_img_and_velo(
+        str(velo), str(calib), img_w=1242, img_h=375,
+        archive_dir=str(archive))
+    assert n == 4
+    for f, orig in before.items():
+        # archive holds the original bytes
+        arch = kitti.read_point_cloud(str(archive / f))
+        np.testing.assert_array_equal(arch, orig)
+        cropped = kitti.read_point_cloud(str(velo / f))
+        assert 0 < len(cropped) <= len(orig)
+        # every surviving point projects into the image
+        P, Tr, R = kitti.load_calib(str(calib / f.replace(".bin", ".txt")))
+        uvd = preprocess.project_velo_to_img(cropped, P, Tr, R)
+        assert (uvd[:, 2] > 0).all()
+        assert (uvd[:, 0] >= 0).all() and (uvd[:, 0] < 1242).all()
+        assert (uvd[:, 1] >= 0).all() and (uvd[:, 1] < 375).all()
+        # and points behind the camera / outside the frustum are gone
+        uvd_all = preprocess.project_velo_to_img(orig, P, Tr, R)
+        keep = ((uvd_all[:, 2] > 0)
+                & (uvd_all[:, 0] >= 0) & (uvd_all[:, 0] < 1242)
+                & (uvd_all[:, 1] >= 0) & (uvd_all[:, 1] < 375))
+        assert len(cropped) == int(keep.sum())

@@ -47,11 +47,22 @@ def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
         pred_boxes = kitti.parse_label_lines(pred_lines, "", "lidar", T, R)
         scores = np.array([float(line.split()[-1]) for line in pred_lines],
                           np.float32)
-        frames.append({
+        # 2D box heights (devkit small-detection rule) + alphas (AOS) from
+        # the emitted 15/16-field lines; heights of 0 mean the dump had no
+        # calib to project with -> rule unavailable for this frame
+        heights = np.array([float(ln.split()[7]) - float(ln.split()[5])
+                            for ln in pred_lines], np.float32)
+        alphas = np.array([float(ln.split()[3]) for ln in pred_lines],
+                          np.float32)
+        frame = {
             "pred_boxes": pred_boxes,
             "pred_scores": scores,
+            "pred_alphas": alphas,
             "gt": parse_gt_for_eval(gt_lines, cls_name, T, R),
-        })
+        }
+        if len(heights) == 0 or (heights > 0).any():
+            frame["pred_heights"] = heights
+        frames.append(frame)
     return frames
 
 
@@ -65,13 +76,18 @@ def main(argv=None):
     p.add_argument("--class-name", type=str, default="Car")
     p.add_argument("--iou", type=float, default=0.7)
     p.add_argument("--mode", type=str, default="3d", choices=("3d", "bev"))
+    p.add_argument("--ap-points", type=int, default=11, choices=(11, 40),
+                   help="11 = classic devkit / VoxelNet paper; 40 = modern")
+    p.add_argument("--aos", action="store_true",
+                   help="also report average orientation similarity")
     args = p.parse_args(argv)
 
     frames = load_frames_from_dirs(args.preds, args.gt, args.class_name,
                                    args.calib_dir)
     if not frames:
         raise SystemExit("no matching prediction/GT frames found")
-    ap = evaluate_ap(frames, iou_thresh=args.iou, mode=args.mode)
+    ap = evaluate_ap(frames, iou_thresh=args.iou, mode=args.mode,
+                     num_points=args.ap_points, compute_aos=args.aos)
     print(json.dumps({
         "class": args.class_name, "iou": args.iou, "mode": args.mode,
         "frames": len(frames),

@@ -74,21 +74,21 @@ def main(argv=None):
                     **{**config.data.__dict__, "dir": args.data_dir}))
         print(config.dump_yaml())
 
-        trainer = Trainer(
+        with Trainer(
             config,
             train_dir=os.path.join(config.data.dir, "training"),
             val_dir=os.path.join(config.data.dir, "validation"),
             exp_base=(args.exp_base if len(classes) == 1
                       else os.path.join(args.exp_base, cls_name)),
             resume_from=args.resume,
-        )
-        trainer.train(
-            print_interval=args.print_interval,
-            summary_interval=args.summary_interval,
-            val_interval=args.summary_val_interval,
-            profile_steps=profile_steps,
-            num_vis_dump=args.num_vis_dump,
-        )
+        ) as trainer:
+            trainer.train(
+                print_interval=args.print_interval,
+                summary_interval=args.summary_interval,
+                val_interval=args.summary_val_interval,
+                profile_steps=profile_steps,
+                num_vis_dump=args.num_vis_dump,
+            )
 
 
 if __name__ == "__main__":

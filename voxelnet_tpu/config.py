@@ -87,6 +87,10 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 1000      # reference keeps every epoch
     debug_nans: bool = False          # jax_debug_nans toggle (sanitizer knob)
+    # assign anchor targets on the input-pipeline threads (overlapped with
+    # device compute) instead of inside the jitted step — the targets
+    # depend only on (gt_boxes, anchors), not params
+    host_targets: bool = True
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,8 @@ class Example:
     gt_mask: np.ndarray      # (G_max,) bool
     label_lines: list[str]
     image_path: str | None = None
+    points_clipped: bool = False   # raw N exceeded data.max_points
+    gt_clipped: bool = False       # raw GT count exceeded data.max_gt_boxes
     # host-voxelized buffers (only when host_voxelize=True)
     voxel_features: np.ndarray | None = None   # (K_max, T, 7)
     voxel_coords: np.ndarray | None = None     # (K_max, 3)
@@ -124,6 +126,8 @@ class KITTIDataset:
             tag=tag, points=pts, num_points=np.int32(n),
             gt_boxes=gt_boxes, gt_mask=gt_mask,
             label_lines=label_lines, image_path=img_path,
+            points_clipped=len(points) > self.config.data.max_points,
+            gt_clipped=len(gt_lidar) > self.config.data.max_gt_boxes,
         )
         if self.host_voxelize:
             vox = voxelize_np(points[:n], self.spec,
@@ -135,7 +139,12 @@ class KITTIDataset:
 
 
 def collate(examples: list[Example]) -> dict:
-    """Stack Examples into fixed-shape arrays (device-ready)."""
+    """Stack Examples into fixed-shape arrays (device-ready).
+
+    `clipped_points` / `clipped_gt` count examples whose raw point cloud /
+    GT list exceeded the static caps (saturation telemetry — silent
+    truncation would bias training; the trainer surfaces these counters).
+    """
     batch = {
         "tags": [e.tag for e in examples],
         "points": np.stack([e.points for e in examples]),
@@ -143,6 +152,8 @@ def collate(examples: list[Example]) -> dict:
         "gt_boxes": np.stack([e.gt_boxes for e in examples]),
         "gt_mask": np.stack([e.gt_mask for e in examples]),
         "label_lines": [e.label_lines for e in examples],
+        "clipped_points": sum(int(e.points_clipped) for e in examples),
+        "clipped_gt": sum(int(e.gt_clipped) for e in examples),
     }
     if examples[0].voxel_features is not None:
         batch["voxel_features"] = np.stack(
@@ -155,15 +166,23 @@ def collate(examples: list[Example]) -> dict:
 def make_batch_iterator(dataset: KITTIDataset, batch_size: int,
                         shuffle: bool = True, seed: int = 0,
                         drop_remainder: bool = True) -> Iterator[dict]:
-    """Epoch iterator of collated batches (pads the tail by wrapping)."""
+    """Epoch iterator of collated batches.
+
+    With drop_remainder=False the tail batch is padded by wrapping to keep
+    shapes static; `batch["num_real"]` gives the count of non-padding
+    examples so consumers can skip the wrapped duplicates.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n = len(order)
     for start in range(0, n, batch_size):
         idxs = order[start:start + batch_size]
-        if len(idxs) < batch_size:
+        num_real = len(idxs)
+        if num_real < batch_size:
             if drop_remainder:
                 return
             idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
-        yield collate([dataset[int(i)] for i in idxs])
+        batch = collate([dataset[int(i)] for i in idxs])
+        batch["num_real"] = num_real
+        yield batch

@@ -54,20 +54,25 @@ class PrefetchIterator:
 
 
 class LazyBatchIterator:
-    """Assemble batches lazily in background threads.
+    """Assemble batches lazily in background threads, in deterministic order.
 
     Unlike PrefetchIterator over a finished iterator, this distributes the
     per-example work (file IO, voxelization when host_voxelize, padding)
     across `workers` threads — numpy releases the GIL for the heavy parts.
+    Workers tag each batch with its sequence number and the consumer
+    reorders, so two runs with any worker count see the same batch stream
+    (run-level reproducibility on top of the per-(item, epoch) example RNG).
     """
 
     _DONE = object()
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, workers: int = 4, depth: int = 8,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True,
+                 transform: Callable[[dict], dict] | None = None):
         from voxelnet_tpu.data.dataset import collate
 
+        self._transform = transform
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -86,8 +91,8 @@ class LazyBatchIterator:
         self._work: queue.Queue = queue.Queue()
         self._out: queue.Queue = queue.Queue(maxsize=depth)
         self._error = None
-        for c in chunks:
-            self._work.put(c)
+        for seq, c in enumerate(chunks):
+            self._work.put((seq, c))
         workers = max(1, min(workers, len(chunks) or 1))
         for _ in range(workers):
             self._work.put(self._DONE)
@@ -96,16 +101,21 @@ class LazyBatchIterator:
         for t in self._threads:
             t.start()
         self._live = workers
+        self._next_seq = 0
+        self._pending: dict[int, dict] = {}
 
     def _worker(self):
         try:
             while True:
-                idxs = self._work.get()
-                if idxs is self._DONE:
+                item = self._work.get()
+                if item is self._DONE:
                     break
+                seq, idxs = item
                 batch = self._collate(
                     [self._dataset[int(i)] for i in idxs])
-                self._out.put(batch)
+                if self._transform is not None:
+                    batch = self._transform(batch)
+                self._out.put((seq, batch))
         except Exception as e:
             self._error = e
         finally:
@@ -115,13 +125,22 @@ class LazyBatchIterator:
         return self
 
     def __next__(self):
+        # Drain completions into the reorder buffer until the next batch in
+        # sequence is available. The buffer is consumer-side and unbounded,
+        # so workers never block on out-of-order completions (no deadlock
+        # against the bounded output queue).
         while True:
+            if self._next_seq in self._pending:
+                batch = self._pending.pop(self._next_seq)
+                self._next_seq += 1
+                return batch
+            if self._live <= 0:
+                if self._error is not None:
+                    raise self._error
+                raise StopIteration
             item = self._out.get()
             if item is self._DONE:
                 self._live -= 1
-                if self._error is not None:
-                    raise self._error
-                if self._live <= 0:
-                    raise StopIteration
                 continue
-            return item
+            seq, batch = item
+            self._pending[seq] = batch

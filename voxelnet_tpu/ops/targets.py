@@ -101,6 +101,97 @@ def assign_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
     return TargetAssignment(pos, neg, reg_targets)
 
 
+def assign_targets_np(gt_boxes: np.ndarray, gt_mask: np.ndarray,
+                      anchors: np.ndarray, anchors_standup: np.ndarray,
+                      *, pos_iou: float, neg_iou: float, anchor_h: float,
+                      iou_plus_one: bool = False):
+    """NumPy twin of `assign_targets` for host-side precompute.
+
+    Target assignment depends only on (gt_boxes, anchors) — not on params —
+    so the input-pipeline threads can compute it while the device runs the
+    previous step, taking the (A, G) IoU + encode work out of the jitted
+    train graph entirely. Semantics match `assign_targets` (equivalence
+    test: tests/test_ops.py)."""
+    from voxelnet_tpu.ops.iou_np import bev_corners_np
+
+    A = anchors.shape[0]
+    gt_boxes = np.asarray(gt_boxes, np.float32)
+    gt_mask = np.asarray(gt_mask, bool)
+
+    corners = bev_corners_np(gt_boxes[:, [0, 1, 4, 5, 6]])  # (G, 4, 2)
+    gt_su = np.stack([
+        corners[..., 0].min(-1), corners[..., 1].min(-1),
+        corners[..., 0].max(-1), corners[..., 1].max(-1)], -1)
+
+    off = 1.0 if iou_plus_one else 0.0
+    b1 = anchors_standup[:, None, :].astype(np.float64)
+    b2 = gt_su[None, :, :]
+    iw = np.maximum(np.minimum(b1[..., 2], b2[..., 2])
+                    - np.maximum(b1[..., 0], b2[..., 0]) + off, 0.0)
+    ih = np.maximum(np.minimum(b1[..., 3], b2[..., 3])
+                    - np.maximum(b1[..., 1], b2[..., 1]) + off, 0.0)
+    inter = iw * ih
+    a1 = ((b1[..., 2] - b1[..., 0] + off) * (b1[..., 3] - b1[..., 1] + off))
+    a2 = ((b2[..., 2] - b2[..., 0] + off) * (b2[..., 3] - b2[..., 1] + off))
+    union = a1 + a2 - inter
+    overlaps = np.where(union > 0, inter / union, 0.0).astype(np.float32)
+    overlaps = np.where(gt_mask[None, :], overlaps, -1.0)   # (A, G)
+
+    best_gt = overlaps.argmax(1)
+    best_gt_iou = overlaps.max(1)
+    best_anchor = overlaps.argmax(0)
+    best_anchor_iou = overlaps.max(0)
+    force = best_anchor[gt_mask & (best_anchor_iou > 0)]
+    pos = (best_gt_iou > pos_iou).astype(np.float32)
+    pos[force] = 1.0
+    any_high = (overlaps >= neg_iou).any(1)
+    neg = (1.0 - any_high.astype(np.float32)) * (1.0 - pos)
+
+    matched = gt_boxes[best_gt]                              # (A, 7)
+    diag = np.sqrt(anchors[:, 4] ** 2 + anchors[:, 5] ** 2)
+    deltas = np.concatenate([
+        (matched[:, 0:2] - anchors[:, 0:2]) / diag[:, None],
+        (matched[:, 2:3] - anchors[:, 2:3]) / anchor_h,
+        np.log(np.maximum(matched[:, 3:6], 1e-6) / anchors[:, 3:6]),
+        matched[:, 6:7] - anchors[:, 6:7]], -1).astype(np.float32)
+    reg_targets = deltas * pos[:, None]
+    return pos, neg, reg_targets
+
+
+class TargetPrecomputer:
+    """Per-batch host target maps, matching `_compute_target_maps`.
+
+    Attach to a batch iterator (e.g. LazyBatchIterator's transform) to add
+    target_pos (B, H', W', 2), target_neg (B, H', W', 2) and target_reg
+    (B, H', W', 14) so the jitted train step skips on-device assignment."""
+
+    def __init__(self, config):
+        from voxelnet_tpu.ops.anchors import anchors_flat
+
+        obj = config.object
+        self.anchors = np.asarray(anchors_flat(obj), np.float32)
+        self.standup = np.asarray(anchor_standup_np(
+            obj, buggy=config.compat.buggy_anchor_standup), np.float32)
+        self.kw = dict(pos_iou=obj.rpn_pos_iou, neg_iou=obj.rpn_neg_iou,
+                       anchor_h=obj.anchor_h,
+                       iou_plus_one=config.compat.iou_plus_one)
+        self.shape = (obj.feature_height, obj.feature_width)
+
+    def __call__(self, batch: dict) -> dict:
+        h, w = self.shape
+        pos_l, neg_l, reg_l = [], [], []
+        for gt_b, gt_m in zip(batch["gt_boxes"], batch["gt_mask"]):
+            pos, neg, reg = assign_targets_np(
+                gt_b, gt_m, self.anchors, self.standup, **self.kw)
+            pos_l.append(pos.reshape(h, w, 2))
+            neg_l.append(neg.reshape(h, w, 2))
+            reg_l.append(reg.reshape(h, w, 14))
+        batch["target_pos"] = np.stack(pos_l)
+        batch["target_neg"] = np.stack(neg_l)
+        batch["target_reg"] = np.stack(reg_l)
+        return batch
+
+
 def targets_to_maps(assignment: TargetAssignment,
                     feature_shape: tuple[int, int]):
     """(A,)/(A,7) -> RPN map layout (H', W', 2) and (H', W', 14).

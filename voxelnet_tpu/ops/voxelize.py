@@ -54,6 +54,9 @@ class Voxels(NamedTuple):
     coords: jnp.ndarray    # (K, 3) int32, (z, y, x)
     counts: jnp.ndarray    # (K,) int32
     num_voxels: jnp.ndarray | int  # scalar: occupied voxels (<= K)
+    # occupied voxels BEFORE the max_voxels clip — saturation telemetry
+    # (num_voxels_raw > num_voxels means the static cap truncated the frame)
+    num_voxels_raw: jnp.ndarray | int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -128,8 +131,8 @@ def voxelize_np(points: np.ndarray, spec: VoxelGridSpec,
         crd = np.zeros((max_voxels, 3), np.int32)
         cnt = np.zeros((max_voxels,), np.int32)
         feat[:k], crd[:k], cnt[:k] = features[:k], coords[:k], counts[:k]
-        return Voxels(feat, crd, cnt, k)
-    return Voxels(features, coords, counts, K)
+        return Voxels(feat, crd, cnt, k, K)
+    return Voxels(features, coords, counts, K, K)
 
 
 # ---------------------------------------------------------------------------
@@ -190,8 +193,10 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     is_start = (sort_ids != prev) & sorted_valid
     # Compact voxel slot: cumsum over run starts (first voxel -> slot 0).
     voxel_slot = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    num_voxels = jnp.minimum(voxel_slot[-1] + 1, max_voxels)
-    return sorted_pts, zyx, sorted_valid, is_start, voxel_slot, num_voxels
+    num_voxels_raw = voxel_slot[-1] + 1
+    num_voxels = jnp.minimum(num_voxels_raw, max_voxels)
+    return (sorted_pts, zyx, sorted_valid, is_start, voxel_slot,
+            num_voxels, num_voxels_raw)
 
 
 def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
@@ -204,7 +209,8 @@ def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
     T = spec.max_points_per_voxel
     N = points.shape[0]
     (sorted_pts, zyx, sorted_valid, is_start, voxel_slot,
-     num_voxels) = _sort_stage(points, num_points, spec, max_voxels)
+     num_voxels, num_voxels_raw) = _sort_stage(
+        points, num_points, spec, max_voxels)
     idx = jnp.arange(N, dtype=jnp.int32)
 
     # per-voxel run starts; padding voxels point at the zero tail (N)
@@ -225,10 +231,11 @@ def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
     zyx_padded = jnp.concatenate(
         [zyx, jnp.zeros((1, 3), jnp.int32)], axis=0)
     coords = zyx_padded[jnp.minimum(run_start, N)]
-    return sorted_pts, run_start, counts, coords, num_voxels
+    return sorted_pts, run_start, counts, coords, num_voxels, num_voxels_raw
 
 
-def _finalize(table, counts, coords, num_voxels, T: int) -> Voxels:
+def _finalize(table, counts, coords, num_voxels, T: int,
+              num_voxels_raw=0) -> Voxels:
     """Shared epilogue: zero padding rows (the Pallas run-copy leaves
     trailing garbage from the neighboring run; XLA rows are already zero)
     and build centroid offsets over the stored points. Batched or not."""
@@ -242,7 +249,7 @@ def _finalize(table, counts, coords, num_voxels, T: int) -> Voxels:
     centroid = table[..., :3].sum(axis=-2, keepdims=True) / denom
     offsets = (table[..., :3] - centroid) * point_mask
     features = jnp.concatenate([table, offsets], axis=-1)
-    return Voxels(features, coords, counts, num_voxels)
+    return Voxels(features, coords, counts, num_voxels, num_voxels_raw)
 
 
 def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
@@ -273,13 +280,15 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
         batched = voxelize_batch_jax(points[None], num_points[None],
                                      spec, max_voxels, backend)
         return Voxels(batched.features[0], batched.coords[0],
-                      batched.counts[0], batched.num_voxels[0])
+                      batched.counts[0], batched.num_voxels[0],
+                      batched.num_voxels_raw[0])
     if backend != "xla":
         raise ValueError(f"unknown voxelizer backend {backend!r}")
 
     N = points.shape[0]
     (sorted_pts, zyx, sorted_valid, is_start, voxel_slot,
-     num_voxels) = _sort_stage(points, num_points, spec, max_voxels)
+     num_voxels, num_voxels_raw) = _sort_stage(
+        points, num_points, spec, max_voxels)
     idx = jnp.arange(N, dtype=jnp.int32)
 
     run_start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
@@ -302,7 +311,7 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
                              voxel_slot, max_voxels)
     coords = jnp.zeros((max_voxels, 3), jnp.int32).at[coord_target].set(
         zyx, mode="drop")
-    return _finalize(table, counts, coords, num_voxels, T)
+    return _finalize(table, counts, coords, num_voxels, T, num_voxels_raw)
 
 
 def resolve_backend(configured: str) -> str:
@@ -341,10 +350,11 @@ def voxelize_batch_jax(points: jnp.ndarray, num_points: jnp.ndarray,
     from voxelnet_tpu.kernels.voxelize_pallas import build_voxel_table
 
     T = spec.max_points_per_voxel
-    sorted_pts, run_start, counts, coords, num_voxels = jax.vmap(
+    (sorted_pts, run_start, counts, coords, num_voxels,
+     num_voxels_raw) = jax.vmap(
         lambda p, n: _pallas_prepare(p, n, spec, max_voxels)
     )(points, num_points)
     table = build_voxel_table(
         sorted_pts, run_start, max_voxels, T,
         interpret=(backend == "pallas_interpret"))
-    return _finalize(table, counts, coords, num_voxels, T)
+    return _finalize(table, counts, coords, num_voxels, T, num_voxels_raw)

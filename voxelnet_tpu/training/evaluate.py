@@ -3,18 +3,24 @@
 The reference left evaluation empty (voxelnet/eval.py:1-9 is a stub; label
 files were dumped for the external KITTI devkit, voxelnet/train.py:224-232).
 This implements the devkit's metric in Python so AP is measurable in-repo:
-11-point interpolated AP at a given IoU threshold over the KITTI difficulty
-buckets (easy/moderate/hard by 2D box height, occlusion, truncation), with
-rotated-BEV or full-3D IoU.
+11-point (devkit classic / VoxelNet paper) or 40-point (modern devkit)
+interpolated AP at a given IoU threshold over the KITTI difficulty buckets
+(easy/moderate/hard by 2D box height, occlusion, truncation), with
+rotated-BEV or full-3D IoU, devkit ignored-GT/small-detection semantics,
+and optional AOS (average orientation similarity).
+
+Per-frame matching is fully vectorized: one (P, G) rotated-IoU matrix
+(`ops.iou_np`) plus a tiny greedy sweep over the <=P kept detections — the
+host twin of the on-device NMS/target kernels.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
-from voxelnet_tpu.data.augment import rotated_iou_2d
+from voxelnet_tpu.ops.iou_np import box3d_iou_matrix_np
 
 # KITTI devkit difficulty thresholds:
 #   min 2D bbox height (px), max occlusion level, max truncation
@@ -37,6 +43,7 @@ class GroundTruth:
     occlusion: np.ndarray     # (N,) int
     truncation: np.ndarray    # (N,) float
     ignored: np.ndarray = None  # (N,) bool — neighboring-class boxes
+    alpha: np.ndarray = None    # (N,) observation angle (AOS; optional)
 
     def __post_init__(self):
         if self.ignored is None:
@@ -55,7 +62,7 @@ def parse_gt_for_eval(label_lines, cls_name="Car",
 
     neighbors = IGNORED_NEIGHBORS.get(cls_name, ())
     acc = (cls_name,) + tuple(neighbors)
-    rows, hts, occ, trunc, ign = [], [], [], [], []
+    rows, hts, occ, trunc, ign, alphas = [], [], [], [], [], []
     for line in label_lines:
         f = line.split()
         if not f or f[0] not in acc:
@@ -66,71 +73,92 @@ def parse_gt_for_eval(label_lines, cls_name="Car",
         occ.append(int(float(f[2])))
         trunc.append(float(f[1]))
         ign.append(f[0] in neighbors)
+        alphas.append(float(f[3]))
     cam = np.asarray(rows, np.float32).reshape(-1, 7)
     lidar = (geometry.camera_to_lidar_boxes(cam, T_VELO_2_CAM, R_RECT_0)
              .astype(np.float32) if len(cam) else cam)
     return GroundTruth(lidar, np.asarray(hts, np.float32),
                        np.asarray(occ, np.int32),
                        np.asarray(trunc, np.float32),
-                       np.asarray(ign, bool))
+                       np.asarray(ign, bool),
+                       np.asarray(alphas, np.float32))
 
 
 def box3d_iou(box1: np.ndarray, box2: np.ndarray, mode: str = "3d") -> float:
-    """IoU of two (x, y, z, h, w, l, r) lidar boxes.
+    """IoU of two (x, y, z, h, w, l, r) lidar boxes (scalar convenience)."""
+    return float(box3d_iou_matrix_np(
+        np.asarray(box1).reshape(1, 7),
+        np.asarray(box2).reshape(1, 7), mode)[0, 0])
 
-    mode='bev' — rotated BEV IoU; mode='3d' — BEV intersection x z-overlap.
-    z is the box bottom (lidar convention).
+
+def _frame_matches(pred_boxes, pred_scores, gt_boxes, iou_thresh, mode,
+                   det_small=None):
+    """Greedy score-ordered matching against the full (P, G) IoU matrix.
+
+    Detections flagged `det_small` (below the devkit's min 2D height) are
+    matched *after* all regular detections so they cannot steal a GT from a
+    real detection (devkit: ignored detections are neither TP nor FP).
+    Returns (tp_flags, matched_gt_idx).
     """
-    bev1, bev2 = box1[[0, 1, 4, 5, 6]], box2[[0, 1, 4, 5, 6]]
-    bev_iou = rotated_iou_2d(bev1, bev2)
-    if mode == "bev":
-        return bev_iou
-    # recover BEV intersection area from IoU
-    a1, a2 = box1[4] * box1[5], box2[4] * box2[5]
-    inter_bev = bev_iou * (a1 + a2) / (1.0 + bev_iou)
-    z_overlap = max(
-        0.0,
-        min(box1[2] + box1[3], box2[2] + box2[3]) - max(box1[2], box2[2]))
-    inter = inter_bev * z_overlap
-    vol1, vol2 = a1 * box1[3], a2 * box2[3]
-    union = vol1 + vol2 - inter
-    return float(inter / union) if union > 0 else 0.0
-
-
-def _frame_matches(pred_boxes, pred_scores, gt_boxes, iou_thresh, mode):
-    """Greedy score-ordered matching; returns (tp_flags, matched_gt_idx)."""
-    order = np.argsort(-np.asarray(pred_scores))
-    matched = np.zeros(len(gt_boxes), bool)
-    tp = np.zeros(len(pred_boxes), bool)
-    gt_idx = np.full(len(pred_boxes), -1, np.int32)
+    P, G = len(pred_boxes), len(gt_boxes)
+    tp = np.zeros(P, bool)
+    gt_idx = np.full(P, -1, np.int32)
+    if P == 0 or G == 0:
+        return tp, gt_idx
+    ious = box3d_iou_matrix_np(pred_boxes, gt_boxes, mode)  # (P, G)
+    if det_small is None:
+        det_small = np.zeros(P, bool)
+    # regular detections first (by descending score), then small ones
+    order = np.lexsort((-np.asarray(pred_scores), det_small))
+    matched = np.zeros(G, bool)
     for pi in order:
-        best, best_iou = -1, iou_thresh
-        for gi in range(len(gt_boxes)):
-            if matched[gi]:
-                continue
-            ov = box3d_iou(pred_boxes[pi], gt_boxes[gi], mode)
-            if ov >= best_iou:
-                best, best_iou = gi, ov
-        if best >= 0:
-            matched[best] = True
+        row = np.where(matched, -1.0, ious[pi])
+        gi = int(np.argmax(row))
+        if row[gi] >= iou_thresh:
+            matched[gi] = True
             tp[pi] = True
-            gt_idx[pi] = best
+            gt_idx[pi] = gi
     return tp, gt_idx
+
+
+def _interp_ap(recall, precision, num_points: int) -> float:
+    """KITTI interpolated AP: max precision at recall >= r, averaged over
+    the sample points. 11-point uses r in {0, 0.1, ..., 1.0} (classic
+    devkit, the VoxelNet paper's metric); 40-point uses r in
+    {1/40, 2/40, ..., 1.0} (modern devkit, skips r=0)."""
+    if num_points == 11:
+        samples = np.linspace(0, 1, 11)
+    elif num_points == 40:
+        samples = np.linspace(1.0 / 40, 1.0, 40)
+    else:
+        raise ValueError(f"num_points must be 11 or 40, got {num_points}")
+    ap = 0.0
+    for r in samples:
+        mask = recall >= r
+        ap += (precision[mask].max() if mask.any() else 0.0) / len(samples)
+    return float(ap)
 
 
 def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
                 mode: str = "3d",
-                difficulties=("easy", "moderate", "hard")) -> dict:
+                difficulties=("easy", "moderate", "hard"),
+                num_points: int = 11,
+                compute_aos: bool = False) -> dict:
     """Compute AP over frames.
 
-    Each frame dict: pred_boxes (P, 7), pred_scores (P,), gt (GroundTruth).
-    Returns {difficulty: AP} with 11-point interpolation (KITTI devkit
-    metric for the numbers the VoxelNet paper reports).
+    Each frame dict: pred_boxes (P, 7), pred_scores (P,),
+    gt (GroundTruth); optional pred_heights (P,) projected 2D box heights
+    in px (enables the devkit small-detection rule: detections shorter
+    than the difficulty's min height are neither TP nor FP) and
+    pred_alphas (P,) observation angles (enables AOS).
+
+    Returns {difficulty: AP}; with compute_aos=True also
+    {difficulty + "_aos": AOS} for frames that carry pred_alphas.
     """
     results = {}
     for diff in difficulties:
         min_h, max_occ, max_trunc = DIFFICULTY[diff]
-        scores_all, tp_all, num_gt = [], [], 0
+        scores_all, tp_all, sim_all, num_gt = [], [], [], 0
         for fr in frames:
             gt: GroundTruth = fr["gt"]
             care = ((gt.bbox_height >= min_h)
@@ -142,22 +170,40 @@ def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
             pred_scores = np.asarray(fr["pred_scores"]).reshape(-1)
             if len(pred_boxes) == 0:
                 continue
+            pred_heights = fr.get("pred_heights")
+            det_small = (np.asarray(pred_heights).reshape(-1) < min_h
+                         if pred_heights is not None
+                         else np.zeros(len(pred_boxes), bool))
             tp, gt_idx = _frame_matches(
-                pred_boxes, pred_scores, gt.boxes_lidar, iou_thresh, mode)
-            # predictions matched to don't-care GT are dropped, not FPs
-            ignore = np.zeros(len(pred_boxes), bool)
-            for pi in range(len(pred_boxes)):
-                if tp[pi] and not care[gt_idx[pi]]:
-                    ignore[pi] = True
+                pred_boxes, pred_scores, gt.boxes_lidar, iou_thresh, mode,
+                det_small)
+            # devkit ignore rules — dropped from the PR curve entirely:
+            #   * matched to a don't-care GT (neighbor class / harder bucket)
+            #   * detection below the min 2D height (matched or not)
+            matched_dont_care = tp & ~care[np.where(gt_idx >= 0, gt_idx, 0)]
+            ignore = matched_dont_care | det_small
             keep = ~ignore
             scores_all.append(pred_scores[keep])
-            tp_all.append(tp[keep] & np.array(
-                [care[g] if g >= 0 else False for g in gt_idx[keep]]))
+            kept_tp = tp[keep]
+            tp_all.append(kept_tp)
+            if compute_aos:
+                pred_alphas = fr.get("pred_alphas")
+                sim = np.zeros(len(pred_boxes))
+                if pred_alphas is not None and gt.alpha is not None \
+                        and len(gt.alpha):
+                    delta = (np.asarray(pred_alphas).reshape(-1)
+                             - gt.alpha[np.where(gt_idx >= 0, gt_idx, 0)])
+                    sim = np.where(tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+                sim_all.append(sim[keep])
         if num_gt == 0:
             results[diff] = float("nan")
+            if compute_aos:
+                results[diff + "_aos"] = float("nan")
             continue
         if not scores_all:
             results[diff] = 0.0
+            if compute_aos:
+                results[diff + "_aos"] = 0.0
             continue
         scores = np.concatenate(scores_all)
         tps = np.concatenate(tp_all)
@@ -165,10 +211,12 @@ def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
         tps = tps[order]
         cum_tp = np.cumsum(tps)
         recall = cum_tp / num_gt
-        precision = cum_tp / (np.arange(len(tps)) + 1)
-        ap = 0.0
-        for r in np.linspace(0, 1, 11):
-            mask = recall >= r
-            ap += (precision[mask].max() if mask.any() else 0.0) / 11
-        results[diff] = float(ap)
+        ranks = np.arange(len(tps)) + 1
+        precision = cum_tp / ranks
+        results[diff] = _interp_ap(recall, precision, num_points)
+        if compute_aos:
+            sims = np.concatenate(sim_all)[order]
+            # orientation "precision": cumulative similarity over rank
+            o_prec = np.cumsum(sims) / ranks
+            results[diff + "_aos"] = _interp_ap(recall, o_prec, num_points)
     return results

@@ -65,16 +65,21 @@ def _compute_target_maps(config: VoxelNetConfig, gt_boxes, gt_mask):
 
 
 def _voxelize(config: VoxelNetConfig, batch):
+    """-> (features, coords, counts, voxels_clipped-or-None).
+
+    voxels_clipped is the per-batch count of frames whose occupied-voxel
+    count hit the static max_voxels cap (saturation telemetry)."""
     if "voxel_features" in batch:
         return (batch["voxel_features"], batch["voxel_coords"],
-                batch["voxel_counts"])
+                batch["voxel_counts"], None)
     from voxelnet_tpu.ops.voxelize import resolve_backend
 
     spec = VoxelGridSpec.from_object_config(config.object)
     vox = voxelize_batch_jax(batch["points"], batch["num_points"], spec,
                              config.data.max_voxels,
                              resolve_backend(config.data.voxelizer_backend))
-    return vox.features, vox.coords, vox.counts
+    clipped = (vox.num_voxels_raw > config.data.max_voxels).sum()
+    return vox.features, vox.coords, vox.counts, clipped
 
 
 def make_train_step(config: VoxelNetConfig,
@@ -89,9 +94,15 @@ def make_train_step(config: VoxelNetConfig,
     tcfg = config.train
 
     def step_fn(state: TrainState, batch) -> tuple[TrainState, dict]:
-        features, coords, counts = _voxelize(config, batch)
-        pos, neg, reg_t = _compute_target_maps(
-            config, batch["gt_boxes"], batch["gt_mask"])
+        features, coords, counts, vox_clipped = _voxelize(config, batch)
+        if "target_pos" in batch:
+            # host-precomputed targets (pipeline threads overlap this work
+            # with the previous device step — see dataset.TargetPrecomputer)
+            pos, neg, reg_t = (batch["target_pos"], batch["target_neg"],
+                               batch["target_reg"])
+        else:
+            pos, neg, reg_t = _compute_target_maps(
+                config, batch["gt_boxes"], batch["gt_mask"])
 
         def loss_fn(params):
             (cls_logits, reg), updates = model.apply(
@@ -124,6 +135,8 @@ def make_train_step(config: VoxelNetConfig,
             "cls_neg_loss": out.cls_neg_loss,
             "grad_norm": optax.global_norm(grads),
         }
+        if vox_clipped is not None:
+            metrics["voxels_clipped"] = vox_clipped
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
@@ -136,9 +149,13 @@ def make_eval_step(config: VoxelNetConfig):
     tcfg = config.train
 
     def eval_fn(state: TrainState, batch):
-        features, coords, counts = _voxelize(config, batch)
-        pos, neg, reg_t = _compute_target_maps(
-            config, batch["gt_boxes"], batch["gt_mask"])
+        features, coords, counts, _ = _voxelize(config, batch)
+        if "target_pos" in batch:
+            pos, neg, reg_t = (batch["target_pos"], batch["target_neg"],
+                               batch["target_reg"])
+        else:
+            pos, neg, reg_t = _compute_target_maps(
+                config, batch["gt_boxes"], batch["gt_mask"])
         cls_logits, reg = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             features, coords, counts, train=False)

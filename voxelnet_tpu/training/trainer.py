@@ -34,31 +34,41 @@ import jax.numpy as jnp
 
 
 def make_exp_dir(base: str = "exps") -> str:
-    """exps/YYYY-MM-DD-NNN layout (voxelnet/train.py:99-122)."""
+    """exps/YYYY-MM-DD-NNN layout (voxelnet/train.py:99-122).
+
+    The numbered dir itself is claimed with an atomic mkdir so two
+    processes starting at once cannot share an experiment dir."""
     os.makedirs(base, exist_ok=True)
     date = datetime.datetime.now().strftime("%Y-%m-%d")
     i = 0
     while True:
         exp_dir = os.path.join(base, f"{date}-{i:03d}")
-        if not os.path.isdir(exp_dir):
+        try:
+            os.mkdir(exp_dir)
             break
-        i += 1
+        except FileExistsError:
+            i += 1
     for sub in ("checkpoints", "logs", "vis", "preds"):
         os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
     return exp_dir
 
 
 def make_decode_fn(config: VoxelNetConfig):
-    """Jitted probs/deltas -> NMS detections (post-forward half of predict)."""
+    """Jitted probs/deltas -> (NMS detections, per-frame candidate counts).
+
+    The candidate count (anchors above the score threshold, pre-top-k) is
+    saturation telemetry: counts above rpn.nms_pre_topk mean the static
+    top-k silently dropped candidates."""
     flat_anchors = jnp.asarray(anchor_ops.anchors_flat(config.object))
     obj, rpn_cfg = config.object, config.rpn
 
     @jax.jit
-    def decode(probs, deltas) -> Detections:
+    def decode(probs, deltas):
         b = probs.shape[0]
         boxes = box_coding.decode_deltas(
             deltas.reshape(b, -1, 7), flat_anchors, obj.anchor_h)
         flat_probs = probs.reshape(b, -1)
+        n_candidates = (flat_probs >= rpn_cfg.score_thres).sum(axis=-1)
 
         def one(bx, sc):
             return nms.nms_bev(
@@ -68,7 +78,7 @@ def make_decode_fn(config: VoxelNetConfig):
                 post_topk=rpn_cfg.nms_post_topk, mode=rpn_cfg.nms_mode)
 
         res = jax.vmap(one)(boxes, flat_probs)
-        return Detections(res.boxes, res.scores, res.valid)
+        return Detections(res.boxes, res.scores, res.valid), n_candidates
 
     return decode
 
@@ -98,10 +108,11 @@ class Trainer:
             num_model=config.system.num_model_shards,
         ) if (config.system.num_data_shards
               * config.system.num_model_shards) > 1 else None
+        self._mesh_ctx = None
         if self.mesh is not None:
             # activate for the trainer's lifetime — the model's
             # with_sharding_constraint (spatial W-sharding) requires a mesh
-            # context at trace time
+            # context at trace time; exited by close()
             self._mesh_ctx = jax.set_mesh(self.mesh)
             self._mesh_ctx.__enter__()
 
@@ -110,6 +121,12 @@ class Trainer:
         self.train_step = make_train_step(config, self.tx)
         self.eval_step = make_eval_step(config)
         self.decode_fn = make_decode_fn(config)
+        # host-side target assignment runs on the pipeline threads,
+        # overlapped with device compute (train.host_targets)
+        self.batch_transform = None
+        if config.train.host_targets:
+            from voxelnet_tpu.ops.targets import TargetPrecomputer
+            self.batch_transform = TargetPrecomputer(config)
 
         self.ckpt = ckpt_lib.CheckpointManager(
             os.path.join(self.exp_dir, "checkpoints"),
@@ -126,6 +143,23 @@ class Trainer:
             self.summary = SummaryWriter(os.path.join(self.exp_dir, "logs"))
         except ImportError:
             self.summary = None
+
+    def close(self):
+        """Release trainer-scoped resources: the active mesh context, the
+        checkpoint manager and the summary writer. Idempotent."""
+        if self._mesh_ctx is not None:
+            self._mesh_ctx.__exit__(None, None, None)
+            self._mesh_ctx = None
+        if self.summary is not None:
+            self.summary.close()
+            self.summary = None
+        self.ckpt.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # -- helpers ----------------------------------------------------------
     def _device_batch(self, batch: dict) -> dict:
@@ -152,7 +186,7 @@ class Trainer:
             from voxelnet_tpu.utils import viz
         except ImportError:
             return
-        det = self.decode_fn(probs, deltas)
+        det, _ = self.decode_fn(probs, deltas)
         boxes = np.asarray(det.boxes[0])[np.asarray(det.valid[0])]
         tag = batch["tags"][0]
         gt = np.asarray(batch["gt_boxes"][0])[np.asarray(batch["gt_mask"][0])]
@@ -210,7 +244,8 @@ class Trainer:
             it = LazyBatchIterator(
                 self.train_ds, cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch,
-                workers=cfg.train.num_workers)
+                workers=cfg.train.num_workers,
+                transform=self.batch_transform)
             for i, batch in enumerate(it):
                 if profile_steps is not None:
                     if global_step == profile_steps[0] and not profiling:
@@ -234,6 +269,12 @@ class Trainer:
                           f"| cls {m['cls_loss']:.4f}")
                 if (i + 1) % summary_interval == 0:
                     self._log("train", metrics, global_step)
+                    # static-cap saturation counters (host side); nonzero
+                    # means max_points / max_gt_boxes silently truncated
+                    self._log("saturation", {
+                        "clipped_points": batch.get("clipped_points", 0),
+                        "clipped_gt": batch.get("clipped_gt", 0),
+                    }, global_step)
                 if (i + 1) % val_interval == 0:
                     if val_iter is None:
                         val_iter = make_batch_iterator(
@@ -280,8 +321,6 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
-        if self.summary is not None:
-            self.summary.close()
 
     def dump_val_predictions(self, epoch: int, max_frames: int | None = None,
                              num_vis_dump: int = 0):
@@ -295,16 +334,21 @@ class Trainer:
         vis_dir = os.path.join(self.exp_dir, "vis", str(epoch + 1))
         seen = 0
         vis_count = 0
+        nms_saturated = 0
         for batch in make_batch_iterator(
                 self.val_ds, cfg.val.batch_size, shuffle=False,
                 drop_remainder=False):
             _, probs, deltas = self.eval_step(
                 self.state, self._device_batch(batch))
-            det = self.decode_fn(probs, deltas)
+            det, n_cand = self.decode_fn(probs, deltas)
             boxes = np.asarray(det.boxes)
             scores = np.asarray(det.scores)
             valid = np.asarray(det.valid)
-            for b, tag in enumerate(batch["tags"]):
+            num_real = batch.get("num_real", len(batch["tags"]))
+            nms_saturated += int(
+                (np.asarray(n_cand)[:num_real]
+                 > cfg.rpn.nms_pre_topk).sum())
+            for b, tag in enumerate(batch["tags"][:num_real]):
                 keep = valid[b]
                 frame_boxes = boxes[b][keep]
                 frame_scores = scores[b][keep]
@@ -330,6 +374,13 @@ class Trainer:
                 seen += 1
                 if max_frames and seen >= max_frames:
                     return
+        if nms_saturated:
+            print(f"[saturation] nms_pre_topk dropped candidates on "
+                  f"{nms_saturated}/{seen} val frames — consider raising "
+                  f"rpn.nms_pre_topk")
+        if self.summary is not None:
+            self.summary.add_scalar(
+                "saturation/nms_pre_topk_frames", nms_saturated, epoch + 1)
 
     def _dump_vis_triplet(self, vis_dir, tag, batch, b, pred_boxes, probs,
                           P, Tr, R):
