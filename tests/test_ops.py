@@ -331,3 +331,37 @@ def test_rpn_loss_matches_manual_numpy():
     assert float(out.cls_loss) == pytest.approx(cls_loss, rel=1e-4)
     assert float(out.reg_loss) == pytest.approx(reg_loss, rel=1e-4)
     assert float(out.loss) == pytest.approx(cls_loss + reg_loss, rel=1e-4)
+
+
+def test_assign_targets_np_matches_jax(tiny_config):
+    """Host (pipeline-thread) target assignment must agree with the
+    on-device path anchor-for-anchor."""
+    import jax.numpy as jnp
+
+    from voxelnet_tpu.ops import targets as t
+    from voxelnet_tpu.ops.anchors import anchors_flat
+
+    obj = tiny_config.object
+    anchors = np.asarray(anchors_flat(obj), np.float32)
+    standup = np.asarray(t.anchor_standup_np(obj), np.float32)
+    rng = np.random.default_rng(3)
+    G = 8
+    gt = np.zeros((G, 7), np.float32)
+    gt[:, 0] = rng.uniform(1, 12, G)
+    gt[:, 1] = rng.uniform(-6, 6, G)
+    gt[:, 2] = -1.0
+    gt[:, 3:6] = [1.56, 1.6, 3.9]
+    gt[:, 6] = rng.uniform(-np.pi / 2, np.pi / 2, G)
+    mask = rng.uniform(size=G) < 0.7
+
+    pos_np, neg_np, reg_np = t.assign_targets_np(
+        gt, mask, anchors, standup, pos_iou=obj.rpn_pos_iou,
+        neg_iou=obj.rpn_neg_iou, anchor_h=obj.anchor_h)
+    a = t.assign_targets(
+        jnp.asarray(gt), jnp.asarray(mask), jnp.asarray(anchors),
+        jnp.asarray(standup), pos_iou=obj.rpn_pos_iou,
+        neg_iou=obj.rpn_neg_iou, anchor_h=obj.anchor_h)
+    np.testing.assert_array_equal(pos_np, np.asarray(a.pos_mask))
+    np.testing.assert_array_equal(neg_np, np.asarray(a.neg_mask))
+    np.testing.assert_allclose(reg_np, np.asarray(a.reg_targets),
+                               atol=1e-5)
