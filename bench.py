@@ -64,14 +64,17 @@ def load_frames(max_points: int, batch: int):
     return batches
 
 
-def _make_stage_fn(stage: str, config):
+def _make_stage_fn(stage: str, config, host_targets: bool = False):
     """Build (jitted chained fn, batch-maker, metric label) per stage.
 
     Stages mirror the BASELINE.json config ladder:
-      vfe   — voxelize + VFE stack (config 1)
-      dense — + sparse-to-dense scatter (config 2)
-      infer — full graph incl. decode + rotated NMS (config 3, default)
-      train — full training step incl. on-device targets (config 4)
+      vfe     — voxelize + VFE stack (config 1)
+      dense   — + sparse-to-dense scatter (config 2)
+      infer   — full graph incl. decode + rotated NMS (config 3, default)
+      train   — full training step (config 4); --host-targets feeds
+                pipeline-precomputed target maps (the production trainer
+                path) instead of assigning targets on device
+      targets — on-device target assignment alone (train-step decomposition)
     """
     import jax
     import jax.numpy as jnp
@@ -131,17 +134,44 @@ def _make_stage_fn(stage: str, config):
         gt[:, 0] = [20.0, 0.0, -1.0, 1.56, 1.6, 3.9, 0.3]
         gt_mask = np.zeros((BATCH, config.data.max_gt_boxes), bool)
         gt_mask[:, 0] = True
-        gt = jax.device_put(gt)
-        gt_mask = jax.device_put(gt_mask)
+        extra = {"gt_boxes": jax.device_put(gt),
+                 "gt_mask": jax.device_put(gt_mask)}
+        if host_targets:
+            from voxelnet_tpu.ops.targets import TargetPrecomputer
+
+            pre = TargetPrecomputer(config)
+            maps = pre({"gt_boxes": gt, "gt_mask": gt_mask})
+            for k in ("target_pos", "target_neg", "target_reg"):
+                extra[k] = jax.device_put(maps[k])
 
         def chained(p, n, salt):
-            batch = {"points": p + salt, "num_points": n,
-                     "gt_boxes": gt, "gt_mask": gt_mask}
+            batch = {"points": p + salt, "num_points": n, **extra}
             state_holder[0], metrics = step(state_holder[0], batch)
             return metrics["loss"] * 0.0
 
-        return chained, ("KITTI frames/sec/chip (Car, training step incl. "
-                         "on-device targets+grads+SGD)")
+        kind = ("host-precomputed targets" if host_targets
+                else "on-device targets")
+        return chained, (f"KITTI frames/sec/chip ({config.object.name}, "
+                         f"training step, {kind}+grads+SGD)")
+
+    if stage == "targets":
+        from voxelnet_tpu.training.train_step import _compute_target_maps
+
+        gt = np.zeros((BATCH, config.data.max_gt_boxes, 7), np.float32)
+        gt[:, :8] = [20.0, 0.0, -1.0, 1.56, 1.6, 3.9, 0.3]
+        gt_mask = np.zeros((BATCH, config.data.max_gt_boxes), bool)
+        gt_mask[:, :8] = True
+        gt = jax.device_put(gt)
+        gt_mask = jax.device_put(gt_mask)
+
+        @jax.jit
+        def chained(p, n, salt):
+            pos, neg, reg = _compute_target_maps(
+                config, gt + salt * 0.0, gt_mask)
+            return (pos.sum() + reg.sum()) * 0.0 + salt * 0.0
+
+        return chained, (f"KITTI frames/sec/chip ({config.object.name}, "
+                         "on-device target assignment only)")
 
     raise SystemExit(f"unknown stage {stage!r}")
 
@@ -151,7 +181,12 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="infer",
-                    choices=("vfe", "dense", "infer", "train"))
+                    choices=("vfe", "dense", "infer", "train", "targets"))
+    ap.add_argument("--class-name", default="Car",
+                    choices=("Car", "Pedestrian", "Cyclist"))
+    ap.add_argument("--host-targets", action="store_true",
+                    help="train stage: feed pipeline-precomputed target "
+                         "maps (production trainer path)")
     args = ap.parse_args(argv)
 
     import jax
@@ -159,8 +194,8 @@ def main(argv=None):
 
     from voxelnet_tpu.config import get_config
 
-    config = get_config("Car")
-    chained, label = _make_stage_fn(args.stage, config)
+    config = get_config(args.class_name)
+    chained, label = _make_stage_fn(args.stage, config, args.host_targets)
 
     batches = load_frames(config.data.max_points, BATCH)
     dev_batches = [(jax.device_put(p), jax.device_put(n))

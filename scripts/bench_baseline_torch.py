@@ -85,7 +85,7 @@ class TorchModel(nn.Module):
         self.prob_head = nn.Conv2d(768, 2, 1)
         self.reg_head = nn.Conv2d(768, 14, 1)
 
-    def forward(self, feats, coords, bs):
+    def forward(self, feats, coords, bs, logits=False):
         mask = (feats.max(dim=2, keepdim=True).values != 0)
         x = self.vfe1(feats, mask)
         x = self.vfe2(x, mask)
@@ -103,7 +103,10 @@ class TorchModel(nn.Module):
         b3 = self.block3(b2)
         u3 = self.deconv3(b3)
         feats2d = torch.cat([u3, u2, u1], dim=1)
-        return torch.sigmoid(self.prob_head(feats2d)), self.reg_head(feats2d)
+        cls = self.prob_head(feats2d)
+        if not logits:
+            cls = torch.sigmoid(cls)
+        return cls, self.reg_head(feats2d)
 
 
 def aabb_nms(boxes, scores, thresh, topk):

@@ -26,6 +26,19 @@ def _apply_platform_override():
 
 _apply_platform_override()
 
+
+def _maybe_init_distributed():
+    """Multi-host entry: when VOXELNET_COORDINATOR (+ NUM_PROCESSES /
+    PROCESS_ID) is set, start the JAX distributed runtime before any other
+    backend use (parallel/distributed.py)."""
+    if os.environ.get("VOXELNET_COORDINATOR"):
+        from voxelnet_tpu.parallel import distributed
+
+        distributed.initialize()
+
+
+_maybe_init_distributed()
+
 from voxelnet_tpu.config import get_config
 from voxelnet_tpu.training.trainer import Trainer
 
@@ -42,6 +55,9 @@ def main(argv=None):
                         "(multi-class coverage; the reference supports one "
                         "class per process, voxelnet/config.py:37)")
     p.add_argument("--exp-base", type=str, default="exps")
+    p.add_argument("--exp-dir", type=str, default=None,
+                   help="explicit experiment dir (required for multi-host "
+                        "runs so all processes share one dir)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume from")
     p.add_argument("--print-interval", type=int, default=100)
@@ -81,6 +97,7 @@ def main(argv=None):
             exp_base=(args.exp_base if len(classes) == 1
                       else os.path.join(args.exp_base, cls_name)),
             resume_from=args.resume,
+            exp_dir=args.exp_dir,
         ) as trainer:
             trainer.train(
                 print_interval=args.print_interval,

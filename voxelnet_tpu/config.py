@@ -48,6 +48,10 @@ class SystemConfig:
     mesh_axis_model: str = "model"
     num_data_shards: int = 1
     num_model_shards: int = 1
+    # multi-host: number of DCN slices (processes); > 1 selects the
+    # ('dcn', 'data', 'model') mesh — DCN major, ICI minor — and batches
+    # shard over the joint ('dcn', 'data') axes (parallel/distributed.py)
+    num_dcn_shards: int = 1
 
 
 @dataclass(frozen=True)

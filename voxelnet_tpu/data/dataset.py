@@ -165,12 +165,19 @@ def collate(examples: list[Example]) -> dict:
 
 def make_batch_iterator(dataset: KITTIDataset, batch_size: int,
                         shuffle: bool = True, seed: int = 0,
-                        drop_remainder: bool = True) -> Iterator[dict]:
+                        drop_remainder: bool = True,
+                        process_shard: tuple[int, int] | None = None,
+                        ) -> Iterator[dict]:
     """Epoch iterator of collated batches.
 
     With drop_remainder=False the tail batch is padded by wrapping to keep
     shapes static; `batch["num_real"]` gives the count of non-padding
     examples so consumers can skip the wrapped duplicates.
+
+    process_shard=(pid, nproc): per-host loading — batch_size is the GLOBAL
+    batch and each process loads only its contiguous row block;
+    `num_real` stays the global count (padding rows sit at the end of the
+    global batch, i.e. in the highest-pid processes).
     """
     order = np.arange(len(dataset))
     if shuffle:
@@ -183,6 +190,10 @@ def make_batch_iterator(dataset: KITTIDataset, batch_size: int,
             if drop_remainder:
                 return
             idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
+        if process_shard is not None:
+            pid, nproc = process_shard
+            local = batch_size // nproc
+            idxs = idxs[pid * local:(pid + 1) * local]
         batch = collate([dataset[int(i)] for i in idxs])
         batch["num_real"] = num_real
         yield batch

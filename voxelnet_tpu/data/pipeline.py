@@ -69,7 +69,8 @@ class LazyBatchIterator:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, workers: int = 4, depth: int = 8,
                  drop_remainder: bool = True,
-                 transform: Callable[[dict], dict] | None = None):
+                 transform: Callable[[dict], dict] | None = None,
+                 process_shard: tuple[int, int] | None = None):
         from voxelnet_tpu.data.dataset import collate
 
         self._transform = transform
@@ -85,6 +86,13 @@ class LazyBatchIterator:
                     break
                 idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
             chunks.append(idxs)
+        if process_shard is not None:
+            # per-host data loading: batch_size is the GLOBAL batch; every
+            # process builds the same global order (same seed) but loads
+            # only its contiguous row block of each batch
+            pid, nproc = process_shard
+            local = batch_size // nproc
+            chunks = [c[pid * local:(pid + 1) * local] for c in chunks]
 
         self._collate = collate
         self._dataset = dataset

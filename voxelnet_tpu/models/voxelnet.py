@@ -54,6 +54,10 @@ class VoxelNet(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_over_padding: bool = False
     spatial_shard: bool = False
+    # partition entry for the batch axis in sharding constraints: 'data'
+    # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
+    # ('dcn', 'data', 'model') mesh
+    batch_axes: Any = "data"
 
     @nn.compact
     def __call__(self, features, coords, counts, train: bool = False):
@@ -65,13 +69,13 @@ class VoxelNet(nn.Module):
             from jax.sharding import PartitionSpec as P
 
             dense = jax.lax.with_sharding_constraint(
-                dense, P("data", None, None, "model", None))
+                dense, P(self.batch_axes, None, None, "model", None))
         bev = MiddleLayers(dtype=self.dtype, name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
             bev = jax.lax.with_sharding_constraint(
-                bev, P("data", None, "model", None))
+                bev, P(self.batch_axes, None, "model", None))
         return RPN(dtype=self.dtype, name="rpn")(bev, train)
 
 
@@ -82,11 +86,13 @@ class Detections(NamedTuple):
 
 
 def build_model(config: VoxelNetConfig) -> VoxelNet:
+    num_dcn = getattr(config.system, "num_dcn_shards", 1)
     return VoxelNet(
         grid_dzyx=config.object.grid_size,
         dtype=jnp.dtype(config.train.compute_dtype),
         bn_over_padding=config.compat.bn_over_padding,
         spatial_shard=config.system.num_model_shards > 1,
+        batch_axes=("dcn", "data") if num_dcn > 1 else "data",
     )
 
 

@@ -85,11 +85,28 @@ def make_decode_fn(config: VoxelNetConfig):
 
 class Trainer:
     def __init__(self, config: VoxelNetConfig, train_dir: str, val_dir: str,
-                 exp_base: str = "exps", resume_from: str | None = None):
+                 exp_base: str = "exps", resume_from: str | None = None,
+                 exp_dir: str | None = None):
         self.config = config
-        self.exp_dir = make_exp_dir(exp_base)
-        with open(os.path.join(self.exp_dir, "config.yaml"), "w") as f:
-            f.write(config.dump_yaml())
+        # multi-host: num_dcn_shards > 1 requires jax.distributed to be
+        # initialized (parallel.distributed.initialize, done by the CLI);
+        # every process runs the same Trainer — compute is collective,
+        # observability writes are process-0-only, label dumps are per-host
+        self._multihost = config.system.num_dcn_shards > 1
+        self._is_main = (not self._multihost) or jax.process_index() == 0
+        if exp_dir is not None:
+            self.exp_dir = exp_dir
+            for sub in ("checkpoints", "logs", "vis", "preds"):
+                os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+        else:
+            if self._multihost:
+                raise ValueError(
+                    "multi-host training needs an explicit exp_dir shared "
+                    "by all processes (exp-dir auto-numbering would race)")
+            self.exp_dir = make_exp_dir(exp_base)
+        if self._is_main:
+            with open(os.path.join(self.exp_dir, "config.yaml"), "w") as f:
+                f.write(config.dump_yaml())
 
         if config.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -103,11 +120,18 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.tx = make_optimizer(config, steps_per_epoch)
 
-        self.mesh = make_mesh(
-            num_data=config.system.num_data_shards,
-            num_model=config.system.num_model_shards,
-        ) if (config.system.num_data_shards
-              * config.system.num_model_shards) > 1 else None
+        if self._multihost:
+            from voxelnet_tpu.parallel import distributed
+            self.mesh = distributed.make_multihost_mesh(
+                num_dcn=config.system.num_dcn_shards,
+                num_data=config.system.num_data_shards,
+                num_model=config.system.num_model_shards)
+        else:
+            self.mesh = make_mesh(
+                num_data=config.system.num_data_shards,
+                num_model=config.system.num_model_shards,
+            ) if (config.system.num_data_shards
+                  * config.system.num_model_shards) > 1 else None
         self._mesh_ctx = None
         if self.mesh is not None:
             # activate for the trainer's lifetime — the model's
@@ -116,8 +140,19 @@ class Trainer:
             self._mesh_ctx = jax.set_mesh(self.mesh)
             self._mesh_ctx.__enter__()
 
-        self.state = create_train_state(
-            config, self.tx, jax.random.key(config.train.seed))
+        if self._multihost:
+            import numpy as _np
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            with jax.default_device(jax.local_devices()[0]):
+                local_state = create_train_state(
+                    config, self.tx, jax.random.key(config.train.seed))
+            repl = NamedSharding(self.mesh, P())
+            self.state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    repl, _np.asarray(x)), local_state)
+        else:
+            self.state = create_train_state(
+                config, self.tx, jax.random.key(config.train.seed))
         self.train_step = make_train_step(config, self.tx)
         self.eval_step = make_eval_step(config)
         self.decode_fn = make_decode_fn(config)
@@ -138,11 +173,14 @@ class Trainer:
             self.start_epoch = int(self.state.step) // steps_per_epoch
             mgr.close()
 
-        try:
-            from tensorboardX import SummaryWriter
-            self.summary = SummaryWriter(os.path.join(self.exp_dir, "logs"))
-        except ImportError:
-            self.summary = None
+        self.summary = None
+        if self._is_main:
+            try:
+                from tensorboardX import SummaryWriter
+                self.summary = SummaryWriter(
+                    os.path.join(self.exp_dir, "logs"))
+            except ImportError:
+                pass
 
     def close(self):
         """Release trainer-scoped resources: the active mesh context, the
@@ -165,9 +203,26 @@ class Trainer:
     def _device_batch(self, batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
+        if self._multihost:
+            from voxelnet_tpu.parallel import distributed
+            return distributed.stage_global_batch(self.mesh, arrays)
         if self.mesh is not None:
             return shard_batch(self.mesh, arrays)
         return arrays
+
+    def _fetch_rows(self, x) -> np.ndarray:
+        """Batch-sharded device array -> THIS process's rows as numpy
+        (all rows when single-process)."""
+        if self._multihost:
+            from voxelnet_tpu.parallel import distributed
+            return distributed.local_rows(x)
+        return np.asarray(x)
+
+    @property
+    def _process_shard(self):
+        if not self._multihost:
+            return None
+        return (jax.process_index(), jax.process_count())
 
     def _log(self, group: str, metrics: dict, step: int):
         if self.summary is not None:
@@ -178,7 +233,10 @@ class Trainer:
         """TensorBoard image summaries: front view with pred+GT boxes, BEV,
         probability heatmap (reference voxelnet/model.py:396-416,
         train.py:187-192). Skips frames whose camera image is unreadable."""
-        if self.summary is None:
+        if self.summary is None or self._multihost:
+            # multihost: decode_fn is a collective program but only process
+            # 0 has a writer — skipping keeps processes in lockstep (the
+            # per-epoch label dump still covers prediction observability)
             return
         try:
             import cv2
@@ -245,7 +303,8 @@ class Trainer:
                 self.train_ds, cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch,
                 workers=cfg.train.num_workers,
-                transform=self.batch_transform)
+                transform=self.batch_transform,
+                process_shard=self._process_shard)
             for i, batch in enumerate(it):
                 if profile_steps is not None:
                     if global_step == profile_steps[0] and not profiling:
@@ -261,7 +320,7 @@ class Trainer:
                         self.state, self._device_batch(batch))
                 global_step += 1
 
-                if (i + 1) % print_interval == 0:
+                if (i + 1) % print_interval == 0 and self._is_main:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"Train {i + 1} @ epoch {epoch + 1}/"
                           f"{cfg.train.num_epochs} - loss {m['loss']:.4f} "
@@ -278,12 +337,14 @@ class Trainer:
                 if (i + 1) % val_interval == 0:
                     if val_iter is None:
                         val_iter = make_batch_iterator(
-                            self.val_ds, cfg.val.batch_size, shuffle=False)
+                            self.val_ds, cfg.val.batch_size, shuffle=False,
+                            process_shard=self._process_shard)
                     try:
                         val_batch = next(val_iter)
                     except StopIteration:
                         val_iter = make_batch_iterator(
-                            self.val_ds, cfg.val.batch_size, shuffle=False)
+                            self.val_ds, cfg.val.batch_size, shuffle=False,
+                            process_shard=self._process_shard)
                         val_batch = next(val_iter, None)
                     if val_batch is None:
                         # val set smaller than the val batch size: skip
@@ -315,9 +376,11 @@ class Trainer:
             if dump_val_labels:
                 self.dump_val_predictions(epoch, num_vis_dump=num_vis_dump)
 
-            val_str = f"{avg_val:.4f}" if avg_val is not None else "n/a"
-            print(f"Epoch {epoch + 1} time {time.time() - epoch_start:.1f}s "
-                  f"avg_val_loss {val_str} best={is_best}")
+            if self._is_main:
+                val_str = f"{avg_val:.4f}" if avg_val is not None else "n/a"
+                print(f"Epoch {epoch + 1} time "
+                      f"{time.time() - epoch_start:.1f}s "
+                      f"avg_val_loss {val_str} best={is_best}")
 
         if profiling:
             jax.profiler.stop_trace()
@@ -337,16 +400,22 @@ class Trainer:
         nms_saturated = 0
         for batch in make_batch_iterator(
                 self.val_ds, cfg.val.batch_size, shuffle=False,
-                drop_remainder=False):
+                drop_remainder=False, process_shard=self._process_shard):
             _, probs, deltas = self.eval_step(
                 self.state, self._device_batch(batch))
             det, n_cand = self.decode_fn(probs, deltas)
-            boxes = np.asarray(det.boxes)
-            scores = np.asarray(det.scores)
-            valid = np.asarray(det.valid)
+            # per-host: each process dumps the frames IT loaded
+            boxes = self._fetch_rows(det.boxes)
+            scores = self._fetch_rows(det.scores)
+            valid = self._fetch_rows(det.valid)
+            probs = self._fetch_rows(probs)
             num_real = batch.get("num_real", len(batch["tags"]))
+            if self._process_shard is not None:
+                pid, nproc = self._process_shard
+                local = cfg.val.batch_size // nproc
+                num_real = int(np.clip(num_real - pid * local, 0, local))
             nms_saturated += int(
-                (np.asarray(n_cand)[:num_real]
+                (self._fetch_rows(n_cand)[:num_real]
                  > cfg.rpn.nms_pre_topk).sum())
             for b, tag in enumerate(batch["tags"][:num_real]):
                 keep = valid[b]
