@@ -64,7 +64,8 @@ def load_frames(max_points: int, batch: int):
     return batches
 
 
-def _make_stage_fn(stage: str, config, host_targets: bool = False):
+def _make_stage_fn(stage: str, config, host_targets: bool = False,
+                   vfe_backend: str = "xla"):
     """Build (jitted chained fn, batch-maker, metric label) per stage.
 
     Stages mirror the BASELINE.json config ladder:
@@ -98,8 +99,8 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False):
             det = infer(variables, p + salt, n)
             return det.scores.sum() * 0.0
 
-        return chained, ("KITTI frames/sec/chip (Car, inference, full "
-                         "graph incl. voxelize+rotated-NMS)")
+        return chained, (f"KITTI frames/sec/chip ({config.object.name}, "
+                         "inference, full graph incl. voxelize+rotated-NMS)")
 
     if stage in ("vfe", "dense"):
         fln = FeatureLearningNet(dtype=jnp.bfloat16)
@@ -107,20 +108,37 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False):
             "params": variables["params"]["feature_net"],
             "batch_stats": variables["batch_stats"]["feature_net"],
         }
+        if vfe_backend == "fused":
+            from voxelnet_tpu.kernels.vfe_fused import voxelize_vfe_fused
 
-        @jax.jit
-        def chained(p, n, salt):
-            vox = voxelize_batch_jax(p + salt, n, spec,
-                                     config.data.max_voxels, backend)
-            vw = fln.apply(fln_vars, vox.features, vox.counts, train=False)
-            if stage == "dense":
-                dense = scatter_to_dense(vw, vox.coords, vox.counts,
-                                         config.object.grid_size)
-                return dense.sum().astype(jnp.float32) * 0.0
-            return vw.sum().astype(jnp.float32) * 0.0
+            @jax.jit
+            def chained(p, n, salt):
+                vw, coords, counts = voxelize_vfe_fused(
+                    p + salt, n, spec, config.data.max_voxels,
+                    fln_vars["params"], fln_vars["batch_stats"])
+                if stage == "dense":
+                    dense = scatter_to_dense(vw, coords, counts,
+                                             config.object.grid_size)
+                    return dense.sum().astype(jnp.float32) * 0.0
+                return vw.sum().astype(jnp.float32) * 0.0
+        else:
+            @jax.jit
+            def chained(p, n, salt):
+                vox = voxelize_batch_jax(p + salt, n, spec,
+                                         config.data.max_voxels, backend)
+                vw = fln.apply(fln_vars, vox.features, vox.counts,
+                               train=False)
+                if stage == "dense":
+                    dense = scatter_to_dense(vw, vox.coords, vox.counts,
+                                             config.object.grid_size)
+                    return dense.sum().astype(jnp.float32) * 0.0
+                return vw.sum().astype(jnp.float32) * 0.0
 
-        label = ("KITTI frames/sec/chip (Car, voxelize+VFE)" if stage == "vfe"
-                 else "KITTI frames/sec/chip (Car, voxelize+VFE+dense grid)")
+        tag = " [fused pallas]" if vfe_backend == "fused" else ""
+        label = (f"KITTI frames/sec/chip (Car, voxelize+VFE{tag})"
+                 if stage == "vfe"
+                 else f"KITTI frames/sec/chip (Car, voxelize+VFE+dense "
+                      f"grid{tag})")
         return chained, label
 
     if stage == "train":
@@ -187,6 +205,10 @@ def main(argv=None):
     ap.add_argument("--host-targets", action="store_true",
                     help="train stage: feed pipeline-precomputed target "
                          "maps (production trainer path)")
+    ap.add_argument("--vfe-backend", default="xla",
+                    choices=("xla", "fused"),
+                    help="vfe/dense stages: 'fused' = single Pallas "
+                         "kernel for table build + VFE stack")
     args = ap.parse_args(argv)
 
     import jax
@@ -195,7 +217,8 @@ def main(argv=None):
     from voxelnet_tpu.config import get_config
 
     config = get_config(args.class_name)
-    chained, label = _make_stage_fn(args.stage, config, args.host_targets)
+    chained, label = _make_stage_fn(args.stage, config, args.host_targets,
+                                    args.vfe_backend)
 
     batches = load_frames(config.data.max_points, BATCH)
     dev_batches = [(jax.device_put(p), jax.device_put(n))

@@ -70,6 +70,10 @@ class DataConfig:
     # padding — see ops/voxelize.resolve_backend); explicit
     # 'xla' / 'pallas' / 'pallas_interpret' override.
     voxelizer_backend: str = "auto"
+    # inference VFE path: 'auto' | 'xla' | 'fused' — 'fused' runs the
+    # single Pallas voxelize+VFE kernel (kernels/vfe_fused.py, 2.5x the
+    # XLA stage on v5e); 'auto' selects it on TPU for unsharded graphs
+    vfe_backend: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -2,20 +2,29 @@
 
 The north-star fusion (BASELINE.json): voxel table build + the entire VFE
 stack in ONE kernel. The XLA path materializes the (B, K, T, 7) point
-table in HBM with a row-by-row scatter (~27 ms of the 33 ms
-voxelize+VFE stage at batch 8 on v5e), then reads it back through two
-Dense/BN/max layers. Here the table never exists in HBM:
+table in HBM with a row-by-row scatter (~27 ms of the 33 ms voxelize+VFE
+stage at batch 8 on v5e), then reads it back through two Dense/BN/max
+layers. Here the table never exists in HBM.
 
-  per (frame, voxel-block) grid step
-    1. each voxel's contiguous point run (the stream is sorted by voxel
-       id) is copied VMEM->VMEM into a block table with an 8-aligned
-       window + `pltpu.roll` (same extraction the standalone voxelize
-       kernel uses, but into scratch instead of HBM),
-    2. centroid offsets (reference semantics voxelnet/utils.py:86-88),
-    3. VFE1 -> VFE2 (Dense -> ReLU -> BN affine -> masked max -> concat,
-       voxelnet/model.py:60-108) on (V, TPAD, C) blocks — MXU matmuls,
-       VPU masked reductions — all VMEM-resident,
-    4. only the (V, 128) voxelwise output row leaves the chip.
+Layout is the whole game (Mosaic pads the minor dim to 128 lanes, so any
+(rows, 4-or-7) array wastes 97% of its VMEM — the round-1 standalone
+kernel hit exactly this, voxelize_pallas.py): everything is
+**channel-planar** — channels live in sublanes, points in lanes:
+
+  sorted points   (8, N)      rows = x,y,z,refl,0..0   lanes = point id
+  block table     (8, V*128)  lanes = voxel * 128 + point slot
+  VFE activations (C, V*128)  dense 128-lane vectors, C = 16/32/64 rows
+
+Per (frame, voxel-block) grid step:
+  1. per voxel, one 128-aligned (8, 256) lane-window read +
+     `pltpu.roll` along lanes plants the voxel's contiguous point run at
+     lanes [v*128, v*128+T) of the block table (runs are contiguous
+     because the stream is sorted by voxel id; T <= 40 < 128),
+  2. centroid offsets (reference semantics voxelnet/utils.py:86-88),
+  3. VFE1 -> VFE2 (Dense -> ReLU -> BN affine -> masked max-over-lanes ->
+     concat, voxelnet/model.py:60-108) as (Cout, Cin) x (Cin, V*128)
+     matmuls — contraction over sublanes, outputs stay lane-dense,
+  4. only the (V, 128) voxelwise output leaves the chip.
 
 Inference-mode only: BatchNorm folds into per-channel scale/shift from
 running statistics (training keeps the XLA path — batch statistics need a
@@ -35,80 +44,94 @@ from jax.experimental.pallas import tpu as pltpu
 
 from voxelnet_tpu.ops.voxelize import VoxelGridSpec, _pallas_prepare
 
+# per-voxel lane stride in the block table; must be 128 (one lane tile)
+# and >= T + 1 so the roll never wraps a neighbor run into the slot window
+VSTRIDE = 128
 
-def _tpad(T: int) -> int:
-    return -(-T // 8) * 8
 
-
-def _kernel(sorted_ref, start_ref, mask_ref,
+def _kernel(sorted_ref, start_ref, nvox_ref, counts_ref,
             w1_ref, a1_ref, w2_ref, a2_ref,
             out_ref, tab_ref):
     """One (frame, voxel-block) step.
 
-    sorted_ref: (1, N + WIN, 4) f32 — frame's points sorted by voxel id,
-        zero tail so the last aligned window read stays in bounds.
+    sorted_ref: (1, 8, NPAD) f32 — channel-planar sorted points
+        (rows x,y,z,refl + 4 zero rows), zero lane tail for window reads.
     start_ref:  (1, 1, V) i32 SMEM — per-voxel first-point index.
-    mask_ref:   (1, V, TPAD) f32 — 1.0 where point-row t < count.
-    w1_ref: (8, 16) f32 — VFE1 dense weight, input padded 7 -> 8.
-    a1_ref: (2, 16) f32 — rows: [bias_after_dense, 0] is NOT the layout;
-        row 0 = BN scale, row 1 = BN shift (affine from running stats),
-        dense bias pre-folded into the affine? No — see a*_ref layout in
-        `fused_feature_net`: row 0 = dense bias, row 1 = BN scale,
-        row 2 = BN shift -> shape (3, C).
-    w2_ref: (32, 64) f32, a2_ref: (3, 64) f32.
-    out_ref: (1, V, 128) bf16 voxelwise features.
-    tab_ref: (V * TPAD, 4) f32 scratch — the block's point table.
+    nvox_ref:   (1, 1, 128) i32 SMEM — frame's occupied voxel count at
+        [0, 0, 0] (tile-padded; the copy loop skips padding voxels — their
+        stale scratch is masked to zero).
+    counts_ref: (1, V, 1) f32 — stored points per voxel (<= T).
+    w1_ref: (16, 8) f32 — VFE1 dense weight, transposed, input padded to 8.
+    a1_ref: (16, 3) f32 — columns: dense bias, BN scale, BN shift.
+    w2_ref: (64, 32) f32, a2_ref: (64, 3) f32 — same for VFE2.
+    out_ref: (1, V, 128) bf16 — voxelwise features (lanes = channels).
+    tab_ref: (8, V * VSTRIDE) f32 scratch — block point table.
     """
-    V = mask_ref.shape[1]
-    TPAD = mask_ref.shape[2]
-    win = TPAD + 8
+    V = counts_ref.shape[1]
+    P = V * VSTRIDE
+    UNROLL = 8
 
-    def copy_run(v, _):
+    def copy_run(v):
         s = start_ref[0, 0, v]
-        sa = pl.multiple_of((s // 8) * 8, 8)
-        window = sorted_ref[0, pl.ds(sa, win), :]
-        rolled = pltpu.roll(window, sa - s, 0)
-        dst = pl.multiple_of(v * TPAD, 8)
-        tab_ref[pl.ds(dst, TPAD), :] = rolled[:TPAD]
+        sa = pl.multiple_of((s // VSTRIDE) * VSTRIDE, VSTRIDE)
+        window = sorted_ref[0, :, pl.ds(sa, 2 * VSTRIDE)]   # (8, 256)
+        rolled = pltpu.roll(window, sa - s, 1)              # lane 0 = pt s
+        dst = pl.multiple_of(v * VSTRIDE, VSTRIDE)
+        tab_ref[:, pl.ds(dst, VSTRIDE)] = rolled[:, :VSTRIDE]
+
+    # only the block's occupied voxels need their runs copied; rounding the
+    # bound up to UNROLL over-copies <= 3 padding voxels (harmless: their
+    # run_start points at the zero tail and their mask is all-zero)
+    n_here = jnp.clip(nvox_ref[0, 0, 0] - pl.program_id(1) * V, 0, V)
+
+    def copy4(i, _):
+        base = i * UNROLL
+        for u in range(UNROLL):
+            copy_run(base + u)
         return 0
 
-    jax.lax.fori_loop(0, V, copy_run, 0)
+    jax.lax.fori_loop(0, pl.cdiv(n_here, UNROLL), copy4, 0)
 
-    mask = mask_ref[0][..., None]                      # (V, TPAD, 1) f32
-    t4 = tab_ref[:].reshape(V, TPAD, 4) * mask
-    cnt = mask.sum(axis=1, keepdims=True)              # (V, 1, 1)
-    centroid = t4[..., :3].sum(axis=1, keepdims=True) / jnp.maximum(cnt, 1.0)
-    offs = (t4[..., :3] - centroid) * mask
-    feat = jnp.concatenate(
-        [t4, offs, jnp.zeros((V, TPAD, 1), jnp.float32)], axis=-1)
-
+    cnt = counts_ref[0]                                     # (V, 1) f32
+    lane_t = jax.lax.broadcasted_iota(
+        jnp.int32, (V, VSTRIDE), 1).astype(jnp.float32)
+    mask = (lane_t < cnt).astype(jnp.float32)               # (V, VSTRIDE)
     neg = jnp.float32(-1e9)
 
-    def vfe_layer(x, w_ref, a_ref):
-        """Dense -> ReLU -> BN affine -> masked max -> concat (bf16 out)."""
-        w = w_ref[:].astype(jnp.bfloat16)
-        y = jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = jnp.maximum(y + a_ref[0], 0.0)
-        y = (y * a_ref[1] + a_ref[2]).astype(jnp.bfloat16)  # (V, TPAD, C)
-        agg = jnp.max(jnp.where(mask > 0, y.astype(jnp.float32), neg),
-                      axis=1, keepdims=True)           # (V, 1, C) f32
-        aggb = jnp.broadcast_to(agg.astype(jnp.bfloat16),
-                                y.shape)
-        return (jnp.concatenate([y, aggb], axis=-1)
-                * mask.astype(jnp.bfloat16)), agg
+    tab = tab_ref[:].reshape(8, V, VSTRIDE) * mask          # (8, V, 128)
+    denom = jnp.maximum(cnt, 1.0)[None]                     # (1, V, 1)
+    centroid = tab[:3].sum(axis=2, keepdims=True) / denom   # (3, V, 1)
+    offs = (tab[:3] - centroid) * mask                      # (3, V, 128)
+    feat = jnp.concatenate(
+        [tab[:4], offs, jnp.zeros((1, V, VSTRIDE), jnp.float32)],
+        axis=0).reshape(8, P)                               # (8, V*128)
 
-    x2, _ = vfe_layer(feat, w1_ref, a1_ref)            # (V, TPAD, 32)
-    _, agg2 = vfe_layer(x2, w2_ref, a2_ref)            # agg2 (V, 1, 64)
+    def vfe_layer(x, w_ref, a_ref, cin):
+        """x (cin, P) bf16 -> (pointwise || agg-broadcast) (2*cout, P)."""
+        w = w_ref[:].astype(jnp.bfloat16)                   # (cout, cin)
+        y = jax.lax.dot_general(
+            w, x.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (cout, P)
+        y = jnp.maximum(y + a_ref[:, 0:1], 0.0)
+        y = (y * a_ref[:, 1:2] + a_ref[:, 2:3]).astype(jnp.bfloat16)
+        cout = y.shape[0]
+        y3 = y.reshape(cout, V, VSTRIDE)
+        agg = jnp.max(jnp.where(mask > 0, y3.astype(jnp.float32), neg),
+                      axis=2, keepdims=True)                # (cout, V, 1)
+        aggb = jnp.broadcast_to(agg.astype(jnp.bfloat16), y3.shape)
+        x2 = (jnp.concatenate([y3, aggb], axis=0)
+              * mask.astype(jnp.bfloat16))                  # (2c, V, 128)
+        return x2.reshape(2 * cout, P), agg
+
+    x2, _ = vfe_layer(feat, w1_ref, a1_ref, 8)              # (32, V*128)
+    _, agg2 = vfe_layer(x2, w2_ref, a2_ref, 32)             # agg2 (64,V,1)
 
     # final masked voxel max of concat(pw2, agg2-broadcast) == (agg2, agg2)
     # (models/vfe.py:83-90: the pointwise half's masked max IS agg2)
-    vmask = (cnt[:, 0, :] > 0).astype(jnp.bfloat16)    # (V, 1)
-    agg2 = agg2[:, 0, :].astype(jnp.bfloat16)          # (V, 64)
-    out = jnp.concatenate([agg2, agg2], axis=-1) * vmask
-    out_ref[0] = out
+    aggT = agg2[:, :, 0].astype(jnp.bfloat16).T             # (V, 64)
+    vmask = (cnt > 0).astype(jnp.bfloat16)                  # (V, 1)
+    out_ref[0] = jnp.concatenate([aggT, aggT], axis=1) * vmask
 
 
 @functools.partial(
@@ -128,8 +151,8 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
     (params/batch_stats subtrees).
     """
     T = spec.max_points_per_voxel
-    TPAD = _tpad(T)
-    WIN = TPAD + 8
+    if T >= VSTRIDE:
+        raise ValueError(f"points_per_voxel {T} must be < {VSTRIDE}")
     V = block_voxels
     if max_voxels % V:
         raise ValueError(f"max_voxels {max_voxels} % block {V} != 0")
@@ -138,20 +161,27 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
         lambda p, n: _pallas_prepare(p, n, spec, max_voxels)
     )(points, num_points)
     b, n, _ = sorted_pts.shape
-    padded = jnp.concatenate(
-        [sorted_pts, jnp.zeros((b, WIN, 4), jnp.float32)], axis=1)
-    rowmask = (jnp.arange(TPAD, dtype=jnp.int32)[None, None, :]
-               < counts[:, :, None]).astype(jnp.float32)
+    # channel-planar + zero lane tail so the last aligned window read
+    # (2 * VSTRIDE lanes from a VSTRIDE-aligned start <= n) stays in bounds
+    planar = jnp.concatenate([
+        sorted_pts.transpose(0, 2, 1),
+        jnp.zeros((b, 4, n), jnp.float32)], axis=1)
+    npad = n + 2 * VSTRIDE
+    planar = jnp.concatenate(
+        [planar, jnp.zeros((b, 8, npad - n), jnp.float32)], axis=2)
 
     def dense_affine(name, cin_pad):
         d = fln_params[name]["fcn"]
         bn_p, bn_s = fln_params[name]["bn"], fln_stats[name]["bn"]
-        w = jnp.zeros((cin_pad, d["kernel"].shape[1]), jnp.float32)
-        w = w.at[: d["kernel"].shape[0]].set(d["kernel"].astype(jnp.float32))
+        cout = d["kernel"].shape[1]
+        w = jnp.zeros((cout, cin_pad), jnp.float32)
+        w = w.at[:, : d["kernel"].shape[0]].set(
+            d["kernel"].astype(jnp.float32).T)
         scale = (bn_p["scale"]
                  / jnp.sqrt(bn_s["var"] + 1e-5)).astype(jnp.float32)
         shift = (bn_p["bias"] - bn_s["mean"] * scale).astype(jnp.float32)
-        aff = jnp.stack([d["bias"].astype(jnp.float32), scale, shift])
+        aff = jnp.stack(
+            [d["bias"].astype(jnp.float32), scale, shift], axis=1)
         return w, aff
 
     w1, a1 = dense_affine("vfe1", 8)
@@ -163,24 +193,29 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((b, max_voxels, 128), jnp.bfloat16),
         in_specs=[
-            pl.BlockSpec((1, n + WIN, 4), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, V), lambda i, j: (i, 0, j),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, V, TPAD), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, V, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 16), lambda i, j: (0, 0),
+            pl.BlockSpec((16, 8), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 16), lambda i, j: (0, 0),
+            pl.BlockSpec((16, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, 64), lambda i, j: (0, 0),
+            pl.BlockSpec((64, 32), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 64), lambda i, j: (0, 0),
+            pl.BlockSpec((64, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, V, 128), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((V * TPAD, 4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, V * VSTRIDE), jnp.float32)],
         interpret=interpret,
-    )(padded, run_start[:, None, :], rowmask, w1, a1, w2, a2)
+    )(planar, run_start[:, None, :],
+      jnp.broadcast_to(num_voxels.astype(jnp.int32)[:, None, None],
+                       (b, 1, 128)),
+      counts[:, :, None].astype(jnp.float32), w1, a1, w2, a2)
     return voxelwise, coords, counts
