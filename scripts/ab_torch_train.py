@@ -148,6 +148,10 @@ def main():
     p.add_argument("--epochs", type=int, default=None,
                    help="override config num_epochs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init-from", type=str, default=None,
+                   help="state_dict .pt to continue from")
+    p.add_argument("--start-epoch", type=int, default=0,
+                   help="epoch offset for logging/dump dirs when resuming")
     args = p.parse_args()
 
     torch.manual_seed(args.seed)
@@ -160,13 +164,15 @@ def main():
         os.path.join(args.data_dir, "validation"), config,
         with_targets=False)
     model = TorchModel(config.object.grid_size)
+    if args.init_from:
+        model.load_state_dict(torch.load(args.init_from))
     opt = torch.optim.SGD(model.parameters(), lr=config.train.lr)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(args.seed + args.start_epoch)
     step = 0
     t_start = time.time()
-    for epoch in range(epochs):
+    for epoch in range(args.start_epoch, args.start_epoch + epochs):
         order = rng.permutation(len(train_store.tags))
         ep_loss = []
         for idx in order:

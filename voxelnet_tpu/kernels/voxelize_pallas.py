@@ -19,11 +19,13 @@ counts and coords fall out of start-index differences and a small gather —
 no (N)-sized scatters remain anywhere in the voxelizer.
 
 STATUS: equivalence-validated (interpret mode, tests) and compiles on TPU,
-but not the default — Mosaic pads the 4-wide lane dim to 128, inflating the
-VMEM table window 32x (e.g. 503 MB for the Car config at batch 4), so the
-XLA scatter path currently wins in practice (see
-voxelize.resolve_backend). A lane-packed (channel-planar, 128-wide) layout
-is the path to making this kernel pay off.
+but not the default for table-building — Mosaic pads the 4-wide lane dim
+to 128, inflating the VMEM table window 32x (e.g. 503 MB for the Car
+config at batch 4), so the XLA scatter path wins when the explicit table
+is required (training). The lane-packed (channel-planar, 128-wide) layout
+this docstring predicted landed in `kernels/vfe_fused.py`, which skips
+the HBM table entirely (sorted stream -> voxelwise VFE features) and is
+the production inference path at 2.5x the XLA stage throughput.
 """
 
 from __future__ import annotations

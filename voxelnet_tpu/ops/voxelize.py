@@ -317,14 +317,16 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
 def resolve_backend(configured: str) -> str:
     """Resolve the config's voxelizer_backend ('auto' -> 'xla').
 
-    Measured on v5e (chained-salt timing, batch 4 x 65k points): the XLA
-    scatter path runs the table build in ~12 ms; the Pallas run-copy kernel
-    is algorithmically cheaper (12k block copies vs 65k row scatters) but
-    Mosaic pads the 4-wide lane dim to 128, inflating the VMEM table 32x
-    past the budget, and per-row DMA issue overhead erases the win. 'auto'
-    therefore selects 'xla' until a lane-packed kernel layout lands; the
-    kernel stays available ('pallas'/'pallas_interpret') and is
-    equivalence-tested in interpret mode.
+    This selects the backend for paths that need the EXPLICIT (K, T, 7)
+    point table (training, host parity checks). For those, the XLA scatter
+    is the measured winner (~27 ms/batch8 on v5e; the standalone Pallas
+    run-copy kernel loses to Mosaic's 4->128 lane padding + per-row DMA
+    issue overhead, kernels/voxelize_pallas.py). The production INFERENCE
+    path does not build the table at all: the lane-packed fused Pallas
+    kernel (kernels/vfe_fused.py, selected by
+    models.voxelnet.resolve_vfe_backend) goes straight from the sorted
+    point stream to voxelwise VFE features at 2.5x this stage's XLA
+    throughput.
     """
     if configured != "auto":
         return configured

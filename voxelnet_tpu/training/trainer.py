@@ -299,13 +299,24 @@ class Trainer:
             from voxelnet_tpu.data.pipeline import LazyBatchIterator
 
             self.train_ds.set_epoch(epoch)
-            it = LazyBatchIterator(
+            it = iter(LazyBatchIterator(
                 self.train_ds, cfg.train.batch_size, shuffle=True,
                 seed=cfg.train.seed + epoch,
                 workers=cfg.train.num_workers,
                 transform=self.batch_transform,
-                process_shard=self._process_shard)
-            for i, batch in enumerate(it):
+                process_shard=self._process_shard))
+
+            def stage_next():
+                b = next(it, None)
+                return None if b is None else (b, self._device_batch(b))
+
+            # double buffering: batch i+1 is device_put while the device
+            # runs step i (jax dispatch is async; the transfer overlaps)
+            pending = stage_next()
+            i = -1
+            while pending is not None:
+                batch, device_batch = pending
+                i += 1
                 if profile_steps is not None:
                     if global_step == profile_steps[0] and not profiling:
                         jax.profiler.start_trace(
@@ -317,8 +328,9 @@ class Trainer:
                 with jax.profiler.StepTraceAnnotation(
                         "train", step_num=global_step):
                     self.state, metrics = self.train_step(
-                        self.state, self._device_batch(batch))
+                        self.state, device_batch)
                 global_step += 1
+                pending = stage_next()
 
                 if (i + 1) % print_interval == 0 and self._is_main:
                     m = {k: float(v) for k, v in metrics.items()}
