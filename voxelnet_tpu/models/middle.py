@@ -12,6 +12,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from voxelnet_tpu.models.init import torch_bias_init, torch_kernel_init
+
 
 class ConvBlock3D(nn.Module):
     cout: int
@@ -26,6 +28,8 @@ class ConvBlock3D(nn.Module):
             strides=(self.stride_d, 1, 1),
             padding=((self.pad_d, self.pad_d), (1, 1), (1, 1)),
             dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(x.shape[-1] * 27),
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)

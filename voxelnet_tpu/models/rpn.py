@@ -12,6 +12,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from voxelnet_tpu.models.init import torch_bias_init, torch_kernel_init
+
 
 class ConvBNReLU(nn.Module):
     cout: int
@@ -23,7 +25,9 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.cout, kernel_size=(3, 3),
                     strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(x.shape[-1] * 9))(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
@@ -44,7 +48,10 @@ class DeconvBNReLU(nn.Module):
         x = nn.ConvTranspose(
             self.cout, kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride), padding=padding,
-            dtype=self.dtype, param_dtype=jnp.float32)(x)
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(
+                self.cout * self.kernel * self.kernel))(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
@@ -80,7 +87,12 @@ class RPN(nn.Module):
 
         cls_logits = nn.Conv(2, kernel_size=(1, 1), dtype=self.dtype,
                              param_dtype=jnp.float32,
+                             kernel_init=torch_kernel_init,
+                             bias_init=torch_bias_init(feats.shape[-1]),
                              name="prob_conv")(feats)
         reg = nn.Conv(14, kernel_size=(1, 1), dtype=self.dtype,
-                      param_dtype=jnp.float32, name="reg_conv")(feats)
+                      param_dtype=jnp.float32,
+                      kernel_init=torch_kernel_init,
+                      bias_init=torch_bias_init(feats.shape[-1]),
+                      name="reg_conv")(feats)
         return cls_logits.astype(jnp.float32), reg.astype(jnp.float32)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from voxelnet_tpu.models.init import torch_bias_init, torch_kernel_init
+
 
 class VFELayer(nn.Module):
     """One VFE block: Dense(cin -> cout/2), ReLU, BN, masked max, concat."""
@@ -31,6 +33,8 @@ class VFELayer(nn.Module):
         """x: (B, K, T, cin); mask: (B, K, T) bool. Returns (B, K, T, cout)."""
         half = self.cout // 2
         y = nn.Dense(half, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(x.shape[-1]),
                      name="fcn")(x.astype(self.dtype))
         y = nn.relu(y)
 
