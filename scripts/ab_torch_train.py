@@ -207,6 +207,8 @@ def main():
         decode_and_dump(model, val_store, config,
                         os.path.join(args.out_dir, "preds",
                                      str(epoch + 1), "data"))
+        torch.save(model.state_dict(),
+                   os.path.join(args.out_dir, f"model_ep{epoch + 1}.pt"))
     torch.save(model.state_dict(),
                os.path.join(args.out_dir, "model_final.pt"))
     meta = {"steps": step, "epochs": epochs,
