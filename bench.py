@@ -33,7 +33,7 @@ except OSError:
     pass
 
 DATA_GLOB = "/root/reference/data/2011_09_26/*/velodyne_points/data/*.bin"
-BATCH = 8   # measured sweet spot on v5e (72 fps vs 57 @ B=4, 69 @ B=16)
+BATCH = 24  # fused-VFE sweet spot on v5e: 92.5 @ B8, 98.9 @ B16, 99.9 @ B24, OOM @ B32
 ITERS = 20
 
 
