@@ -195,6 +195,7 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
 
 
 def main(argv=None):
+    global BATCH
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -209,7 +210,11 @@ def main(argv=None):
                     choices=("xla", "fused"),
                     help="vfe/dense stages: 'fused' = single Pallas "
                          "kernel for table build + VFE stack")
+    ap.add_argument("--batch", type=int, default=None,
+                    help=f"frames per device batch (default {BATCH})")
     args = ap.parse_args(argv)
+    if args.batch:
+        BATCH = args.batch
 
     import jax
     import jax.numpy as jnp

@@ -51,6 +51,11 @@ class MiddleLayers(nn.Module):
         x = ConvBlock3D(64, stride_d=2, pad_d=1, dtype=self.dtype)(x, train)
         x = ConvBlock3D(64, stride_d=1, pad_d=0, dtype=self.dtype)(x, train)
         x = ConvBlock3D(64, stride_d=2, pad_d=1, dtype=self.dtype)(x, train)
-        # fold remaining depth into channels: (B, D', H, W, C) -> (B, H, W, D'*C)
-        x = x.transpose(0, 2, 3, 1, 4)
+        # fold remaining depth into channels: (B, D', H, W, C) ->
+        # (B, H, W, C*D') with the CHANNEL axis major, matching the
+        # reference's view of its NCDHW tensor (voxelnet/model.py:262
+        # merges adjacent (C, D') dims, i.e. bev_channel = c*D' + d).
+        # Keeping the same fold order makes checkpoints weight-level
+        # compatible across frameworks (scripts/ab_transplant.py).
+        x = x.transpose(0, 2, 3, 4, 1)
         return x.reshape(b, h, w, -1)
