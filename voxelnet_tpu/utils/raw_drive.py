@@ -181,8 +181,14 @@ def create_clip_boxes(drive: RawDrive, out_path: str, max_frames: int = 50,
     frames = min(len(drive), max_frames)
     first = drive.image(0)
     h, w = first.shape[:2]
-    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+    fourcc = {"avi": "MJPG", "mkv": "X264"}.get(
+        out_path.rsplit(".", 1)[-1].lower(), "mp4v")
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*fourcc),
                              fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(
+            f"cv2.VideoWriter could not open {out_path!r} (codec {fourcc});"
+            " use .mp4/.avi/.mkv")
     for i in range(frames):
         img = cv2.cvtColor(drive.image(i), cv2.COLOR_RGB2BGR)
         for corners, typ in zip(boxes[i], types[i]):
