@@ -275,6 +275,22 @@ class Trainer:
                                heat.transpose(2, 0, 1), step)
 
     # -- main loop --------------------------------------------------------
+    def _next_val_batch(self):
+        """Next sampled-validation batch, cycling the val set; None when
+        the val set is smaller than one val batch."""
+        cfg = self.config
+        if getattr(self, "_val_iter", None) is None:
+            self._val_iter = make_batch_iterator(
+                self.val_ds, cfg.val.batch_size, shuffle=False,
+                process_shard=self._process_shard)
+        batch = next(self._val_iter, None)
+        if batch is None:
+            self._val_iter = make_batch_iterator(
+                self.val_ds, cfg.val.batch_size, shuffle=False,
+                process_shard=self._process_shard)
+            batch = next(self._val_iter, None)
+        return batch
+
     def train(self, print_interval: int = 100, summary_interval: int = 100,
               val_interval: int = 100, dump_val_labels: bool = True,
               profile_steps: tuple[int, int] | None = None,
@@ -290,7 +306,7 @@ class Trainer:
         cfg = self.config
         min_loss = float("inf")
         global_step = int(self.state.step)
-        val_iter = None
+        self._val_iter = None
         profiling = False
 
         for epoch in range(self.start_epoch, cfg.train.num_epochs):
@@ -347,17 +363,7 @@ class Trainer:
                         "clipped_gt": batch.get("clipped_gt", 0),
                     }, global_step)
                 if (i + 1) % val_interval == 0:
-                    if val_iter is None:
-                        val_iter = make_batch_iterator(
-                            self.val_ds, cfg.val.batch_size, shuffle=False,
-                            process_shard=self._process_shard)
-                    try:
-                        val_batch = next(val_iter)
-                    except StopIteration:
-                        val_iter = make_batch_iterator(
-                            self.val_ds, cfg.val.batch_size, shuffle=False,
-                            process_shard=self._process_shard)
-                        val_batch = next(val_iter, None)
+                    val_batch = self._next_val_batch()
                     if val_batch is None:
                         # val set smaller than the val batch size: skip
                         # sampled validation rather than abort the epoch
@@ -373,6 +379,18 @@ class Trainer:
                             val_batch, vprobs, vdeltas, global_step)
                     except Exception:
                         pass  # viz is best-effort (missing images/calib)
+                    tot_val_loss += float(vmet["loss"])
+                    tot_val_times += 1
+
+            if tot_val_times == 0:
+                # epoch shorter than val_interval: still sample one val
+                # batch so best-checkpoint tracking works (the reference
+                # tracks best by sampled val loss, voxelnet/train.py:199-202)
+                val_batch = self._next_val_batch()
+                if val_batch is not None:
+                    vmet, _, _ = self.eval_step(
+                        self.state, self._device_batch(val_batch))
+                    self._log("validate", vmet, global_step)
                     tot_val_loss += float(vmet["loss"])
                     tot_val_times += 1
 
