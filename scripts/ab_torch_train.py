@@ -33,7 +33,7 @@ from voxelnet_tpu.config import get_config
 from voxelnet_tpu.ops.anchors import anchors_flat
 from voxelnet_tpu.ops.targets import TargetPrecomputer
 from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_np
-from voxelnet_tpu.utils import kitti
+from voxelnet_tpu.utils import geometry, kitti
 
 
 def smooth_l1_torch(diff, sigma=3.0):
@@ -124,10 +124,12 @@ def decode_and_dump(model, store, config, out_dir):
             lines = []
             if sel.sum():
                 cand, sc = boxes[sel], pr[sel]
-                bev = cand[:, [0, 1, 4, 5]]
-                standup = np.stack([
-                    bev[:, 0] - bev[:, 3] / 2, bev[:, 1] - bev[:, 2] / 2,
-                    bev[:, 0] + bev[:, 3] / 2, bev[:, 1] + bev[:, 2] / 2], 1)
+                # reference NMS boxes are the AABB of the ROTATED BEV
+                # corners (voxelnet/model.py:39-41), not naive (x±l/2,
+                # y±w/2) — yaw widens the standup box
+                corners = geometry.center_to_corner_box2d(
+                    cand[:, [0, 1, 4, 5, 6]])
+                standup = geometry.corner_to_standup_box2d(corners)
                 keep = aabb_nms(standup, sc, config.rpn.nms_thres,
                                 config.rpn.nms_post_topk)
                 P, Tr, R = item["calib"]
@@ -167,6 +169,12 @@ def main():
     if args.init_from:
         model.load_state_dict(torch.load(args.init_from))
     opt = torch.optim.SGD(model.parameters(), lr=config.train.lr)
+    # the reference's schedule: 10x LR drop at epoch lr_scheduler_step
+    # (voxelnet/train.py:131-132 MultiStepLR) — the framework side applies
+    # the same drop via optax, so long-horizon A/Bs stay comparable
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[config.train.lr_scheduler_step], gamma=0.1,
+        last_epoch=args.start_epoch - 1 if args.start_epoch else -1)
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed + args.start_epoch)
@@ -204,6 +212,7 @@ def main():
                       flush=True)
         print(f"epoch {epoch + 1} mean loss {np.mean(ep_loss):.4f}",
               flush=True)
+        sched.step()
         decode_and_dump(model, val_store, config,
                         os.path.join(args.out_dir, "preds",
                                      str(epoch + 1), "data"))

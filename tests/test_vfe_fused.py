@@ -63,3 +63,14 @@ def test_fused_empty_frame(tiny_config):
         block_voxels=64, interpret=True)
     assert np.asarray(counts).sum() == 0
     np.testing.assert_array_equal(np.asarray(got, np.float32), 0.0)
+
+
+def test_auto_backend_respects_bn_over_padding():
+    """'auto' must not route reference ghost-activation semantics
+    (compat.bn_over_padding) onto the fused kernel, which implements the
+    corrected masked-max semantics only."""
+    from voxelnet_tpu.config import get_config
+    from voxelnet_tpu.models.voxelnet import resolve_vfe_backend
+
+    cfg = get_config("Car", compat={"bn_over_padding": True})
+    assert resolve_vfe_backend(cfg) == "xla"

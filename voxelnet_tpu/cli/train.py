@@ -97,7 +97,11 @@ def main(argv=None):
             exp_base=(args.exp_base if len(classes) == 1
                       else os.path.join(args.exp_base, cls_name)),
             resume_from=args.resume,
-            exp_dir=args.exp_dir,
+            # a shared explicit exp dir across classes would overwrite
+            # checkpoints/preds; give each class its own subdir
+            exp_dir=(args.exp_dir if args.exp_dir is None
+                     or len(classes) == 1
+                     else os.path.join(args.exp_dir, cls_name)),
         ) as trainer:
             trainer.train(
                 print_interval=args.print_interval,

@@ -192,6 +192,11 @@ def make_batch_iterator(dataset: KITTIDataset, batch_size: int,
             idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
         if process_shard is not None:
             pid, nproc = process_shard
+            if batch_size % nproc:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"across {nproc} processes (rows would be silently "
+                    "dropped)")
             local = batch_size // nproc
             idxs = idxs[pid * local:(pid + 1) * local]
         batch = collate([dataset[int(i)] for i in idxs])

@@ -91,6 +91,11 @@ class LazyBatchIterator:
             # process builds the same global order (same seed) but loads
             # only its contiguous row block of each batch
             pid, nproc = process_shard
+            if batch_size % nproc:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"across {nproc} processes (rows would be silently "
+                    "dropped)")
             local = batch_size // nproc
             chunks = [c[pid * local:(pid + 1) * local] for c in chunks]
 

@@ -118,8 +118,9 @@ def tracklet_label_lines(frame_tracklets, P2, R0, Tr,
         area = (x2 - x1) * (y2 - y1)
         clipped = (cx2 - cx1) * (cy2 - cy1)
         trunc = float(np.clip(1.0 - clipped / max(area, 1e-9), 0.0, 1.0))
-        alpha = float(geometry.angle_in_limit(
-            np.array([ry - np.arctan2(x, z)]))[0])
+        # KITTI alpha spans [-pi, pi]; folding into [-pi/2, pi/2) (the
+        # detector's yaw convention) would erase heading and corrupt AOS
+        alpha = float((ry - np.arctan2(x, z) + np.pi) % (2 * np.pi) - np.pi)
         fields = [trunc, float(_OCC_MAP.get(int(occ), 2)), alpha,
                   cx1, cy1, cx2, cy2, h, w, l,
                   float(x), float(y), float(z), float(ry)]

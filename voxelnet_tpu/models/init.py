@@ -22,6 +22,12 @@ from flax.linen import initializers
 torch_kernel_init = initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform")
 
+# ConvTranspose: torch computes the fan from weight.size(1)*k^2 which for
+# its (cin, cout, kh, kw) transposed weight is cout*k^2 — the OUT channel
+# axis of the flax (kh, kw, cin, cout) kernel, i.e. 'fan_out'
+torch_deconv_kernel_init = initializers.variance_scaling(
+    1.0 / 3.0, "fan_out", "uniform")
+
 
 def torch_bias_init(fan_in: int):
     """uniform(+-1/sqrt(fan_in)) — torch's reset_parameters bias rule.

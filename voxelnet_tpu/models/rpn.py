@@ -12,7 +12,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from voxelnet_tpu.models.init import torch_bias_init, torch_kernel_init
+from voxelnet_tpu.models.init import (
+    torch_bias_init, torch_deconv_kernel_init, torch_kernel_init)
 
 
 class ConvBNReLU(nn.Module):
@@ -49,7 +50,7 @@ class DeconvBNReLU(nn.Module):
             self.cout, kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride), padding=padding,
             dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=torch_kernel_init,
+            kernel_init=torch_deconv_kernel_init,
             bias_init=torch_bias_init(
                 self.cout * self.kernel * self.kernel))(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -126,6 +126,10 @@ def resolve_vfe_backend(config: VoxelNetConfig) -> str:
     configured = config.data.vfe_backend
     if configured != "auto":
         return configured
+    if config.compat.bn_over_padding:
+        # the fused kernel implements the corrected masked-max semantics;
+        # reference ghost-activation parity mode must take the XLA path
+        return "xla"
     sys = config.system
     unsharded = (sys.num_data_shards == sys.num_model_shards
                  == getattr(sys, "num_dcn_shards", 1) == 1)

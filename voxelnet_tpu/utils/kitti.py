@@ -112,7 +112,12 @@ def boxes_to_label_lines(boxes3d, classes, scores=None, coordinate="lidar",
 
     for i in range(len(boxes3d)):
         x, y, z, h, w, l, r = cam_boxes[i]
-        fields = [0.0, 0.0, 0.0, *boxes2d[i], h, w, l, x, y, z, r]
+        # observation angle (KITTI alpha, [-pi, pi]); the reference emits a
+        # hardcoded 0 here (voxelnet/utils.py:844) which would make AOS
+        # meaningless — real alpha is required for the evaluator's
+        # orientation similarity
+        alpha = float((r - np.arctan2(x, z) + np.pi) % (2 * np.pi) - np.pi)
+        fields = [0.0, 0.0, alpha, *boxes2d[i], h, w, l, x, y, z, r]
         if scores is not None:
             fields.append(float(scores[i]))
         body = " ".join(f"{float(v):.4f}" for v in fields)
