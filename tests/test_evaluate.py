@@ -203,3 +203,79 @@ def test_eval_speed_vectorized():
     t0 = time.perf_counter()
     evaluate_ap(frames, iou_thresh=0.7, mode="3d")
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_empty_gt_frame_with_predictions_counts_fp():
+    """A frame with zero GT but predictions must not crash and must
+    count the predictions as FPs (regression: IndexError on size-0
+    care array)."""
+    frames = [
+        {"pred_boxes": np.asarray([BOX], np.float32),
+         "pred_scores": np.asarray([0.9], np.float32),
+         "gt": _gt(np.zeros((0, 7)))},
+        {"pred_boxes": np.asarray([BOX], np.float32),
+         "pred_scores": np.asarray([0.8], np.float32),
+         "gt": _gt([BOX])},
+    ]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    # rank 1 FP, rank 2 TP: precision at full recall = 1/2 -> 11-pt AP
+    assert ap["moderate"] == pytest.approx(0.5, abs=0.05)
+
+
+def test_care_gt_takes_priority_over_ignored_neighbor():
+    """Devkit assignment: an ignored neighbor-class GT (Van) must not
+    steal a detection that also matches the care GT above threshold,
+    even when the Van IoU is higher."""
+    van = list(BOX)
+    van[0] += 0.3          # overlaps BOX heavily
+    det = list(BOX)
+    det[0] += 0.25         # IoU(det, van) > IoU(det, car) > thresh
+    gt = _gt([BOX, van])
+    gt.ignored[1] = True
+    frames = [{
+        "pred_boxes": np.asarray([det], np.float32),
+        "pred_scores": np.asarray([0.9], np.float32),
+        "gt": gt,
+    }]
+    ap = evaluate_ap(frames, iou_thresh=0.5, mode="bev")
+    assert ap["moderate"] == pytest.approx(1.0)
+
+
+def test_dontcare_region_absorbs_unmatched_detection():
+    """An unmatched detection whose 2D box lies in a DontCare region is
+    neither TP nor FP (devkit boxoverlap rule)."""
+    far = [50.0, 20.0, -1.0, 1.5, 1.6, 3.9, 0.0]
+    gt = _gt([BOX])
+    gt.dontcare = np.asarray([[100, 100, 200, 200]], np.float32)
+    frames = [{
+        "pred_boxes": np.asarray([BOX, far], np.float32),
+        "pred_scores": np.asarray([0.8, 0.9], np.float32),
+        "pred_heights": np.asarray([80.0, 80.0], np.float32),
+        # the far FP sits fully inside the DontCare region
+        "pred_boxes2d": np.asarray([[400, 50, 460, 130],
+                                    [120, 120, 180, 200]], np.float32),
+        "gt": gt,
+    }]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert ap["moderate"] == pytest.approx(1.0)   # FP was absorbed
+    gt2 = _gt([BOX])  # without the DontCare region the FP counts
+    frames[0]["gt"] = gt2
+    ap2 = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    assert ap2["moderate"] < 1.0
+
+
+def test_small_matched_detection_removes_gt_from_denominator():
+    """A care GT consumed by a below-min-height detection counts
+    neither TP nor FN (devkit: GT leaves the denominator)."""
+    other = list(BOX)
+    other[0] += 20.0
+    frames = [{
+        "pred_boxes": np.asarray([BOX, other], np.float32),
+        "pred_scores": np.asarray([0.9, 0.8], np.float32),
+        # first det matches its GT but is too small to count
+        "pred_heights": np.asarray([10.0, 80.0], np.float32),
+        "gt": _gt([BOX, other]),
+    }]
+    ap = evaluate_ap(frames, iou_thresh=0.7, mode="3d")
+    # remaining: 1 GT, 1 TP -> perfect AP (not 0.5-recall-capped)
+    assert ap["moderate"] == pytest.approx(1.0)

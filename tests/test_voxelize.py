@@ -171,3 +171,35 @@ def test_pallas_kernel_pedestrian_T45():
     np.testing.assert_array_equal(np.asarray(vx.counts), np.asarray(vp.counts))
     np.testing.assert_allclose(np.asarray(vx.features),
                                np.asarray(vp.features))
+
+
+def test_boundary_binning_matches_host(car_spec):
+    """floor(x / s) (host) vs floor(x * (1/s)) rounds differently within
+    ~1 ulp of voxel boundaries — the device path must DIVIDE so boundary
+    points land in the same voxel on both paths (regression)."""
+    import numpy as np
+
+    from voxelnet_tpu.ops.voxelize import voxelize_batch_jax, voxelize_np
+
+    spec = car_spec
+    # points sitting exactly on (and 1 ulp around) x/y voxel boundaries
+    edges = np.arange(1, 40, dtype=np.float32) * np.float32(
+        spec.voxel_size_zyx[2])
+    xs = np.concatenate([edges, np.nextafter(edges, 0),
+                         np.nextafter(edges, 100)])
+    pts = np.zeros((len(xs), 4), np.float32)
+    pts[:, 0] = xs
+    pts[:, 1] = 0.05
+    pts[:, 2] = -1.0
+    pts[:, 3] = 0.5
+
+    host = voxelize_np(pts, spec)
+    dev = voxelize_batch_jax(
+        jnp.asarray(pts)[None], jnp.asarray([len(pts)], jnp.int32),
+        spec, 256, "xla")
+    kh = int(host.num_voxels)
+    kd = int(np.asarray(dev.num_voxels)[0])
+    assert kh == kd
+    host_set = {tuple(c) for c in host.coords[:kh]}
+    dev_set = {tuple(c) for c in np.asarray(dev.coords)[0][:kd]}
+    assert host_set == dev_set

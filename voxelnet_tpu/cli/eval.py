@@ -50,8 +50,10 @@ def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
         # 2D box heights (devkit small-detection rule) + alphas (AOS) from
         # the emitted 15/16-field lines; heights of 0 mean the dump had no
         # calib to project with -> rule unavailable for this frame
-        heights = np.array([float(ln.split()[7]) - float(ln.split()[5])
-                            for ln in pred_lines], np.float32)
+        boxes2d = np.array([[float(v) for v in ln.split()[4:8]]
+                            for ln in pred_lines],
+                           np.float32).reshape(-1, 4)
+        heights = boxes2d[:, 3] - boxes2d[:, 1]
         alphas = np.array([float(ln.split()[3]) for ln in pred_lines],
                           np.float32)
         frame = {
@@ -62,6 +64,7 @@ def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
         }
         if len(heights) == 0 or (heights > 0).any():
             frame["pred_heights"] = heights
+            frame["pred_boxes2d"] = boxes2d
         frames.append(frame)
     return frames
 

@@ -166,10 +166,14 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     INVALID = jnp.int32(D * H * W)  # sorts after all real voxels
 
     shifted = points[:, :3] + jnp.asarray(spec.offset_xyz, jnp.float32)
-    inv_size = 1.0 / jnp.asarray(
+    sizes = jnp.asarray(
         (spec.voxel_size_zyx[2], spec.voxel_size_zyx[1],
          spec.voxel_size_zyx[0]), jnp.float32)
-    vxyz = jnp.floor(shifted * inv_size).astype(jnp.int32)  # (N, 3) x,y,z
+    # DIVIDE, exactly like voxelize_np (line 92-94): floor(x * (1/s))
+    # rounds differently from floor(x / s) within ~1 ulp of voxel
+    # boundaries, which silently broke host/device binning parity for
+    # boundary-adjacent points
+    vxyz = jnp.floor(shifted / sizes).astype(jnp.int32)  # (N, 3) x,y,z
     vx, vy, vz = vxyz[:, 0], vxyz[:, 1], vxyz[:, 2]
 
     valid = (

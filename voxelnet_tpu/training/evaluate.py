@@ -6,8 +6,10 @@ This implements the devkit's metric in Python so AP is measurable in-repo:
 11-point (devkit classic / VoxelNet paper) or 40-point (modern devkit)
 interpolated AP at a given IoU threshold over the KITTI difficulty buckets
 (easy/moderate/hard by 2D box height, occlusion, truncation), with
-rotated-BEV or full-3D IoU, devkit ignored-GT/small-detection semantics,
-and optional AOS (average orientation similarity).
+rotated-BEV or full-3D IoU, devkit ignored-GT / small-detection /
+DontCare-region semantics (care GTs take assignment priority; a care GT
+consumed by an ignored detection leaves the denominator), and optional
+AOS (average orientation similarity).
 
 Per-frame matching is fully vectorized: one (P, G) rotated-IoU matrix
 (`ops.iou_np`) plus a tiny greedy sweep over the <=P kept detections — the
@@ -16,7 +18,7 @@ host twin of the on-device NMS/target kernels.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -44,10 +46,13 @@ class GroundTruth:
     truncation: np.ndarray    # (N,) float
     ignored: np.ndarray = None  # (N,) bool — neighboring-class boxes
     alpha: np.ndarray = None    # (N,) observation angle (AOS; optional)
+    dontcare: np.ndarray = None  # (Nd, 4) DontCare 2D regions (x1,y1,x2,y2)
 
     def __post_init__(self):
         if self.ignored is None:
             self.ignored = np.zeros(len(self.boxes_lidar), bool)
+        if self.dontcare is None:
+            self.dontcare = np.zeros((0, 4), np.float32)
 
 
 def parse_gt_for_eval(label_lines, cls_name="Car",
@@ -62,10 +67,17 @@ def parse_gt_for_eval(label_lines, cls_name="Car",
 
     neighbors = IGNORED_NEIGHBORS.get(cls_name, ())
     acc = (cls_name,) + tuple(neighbors)
-    rows, hts, occ, trunc, ign, alphas = [], [], [], [], [], []
+    rows, hts, occ, trunc, ign, alphas, dc = [], [], [], [], [], [], []
     for line in label_lines:
         f = line.split()
-        if not f or f[0] not in acc:
+        if not f:
+            continue
+        if f[0] == "DontCare":
+            # devkit: detections inside DontCare 2D regions are neither
+            # TP nor FP (cpp/evaluate_object.cpp boxoverlap criterion)
+            dc.append([float(v) for v in f[4:8]])
+            continue
+        if f[0] not in acc:
             continue
         h, w, l, x, y, z, r = (float(v) for v in f[8:15])
         rows.append((x, y, z, h, w, l, r))
@@ -81,7 +93,8 @@ def parse_gt_for_eval(label_lines, cls_name="Car",
                        np.asarray(occ, np.int32),
                        np.asarray(trunc, np.float32),
                        np.asarray(ign, bool),
-                       np.asarray(alphas, np.float32))
+                       np.asarray(alphas, np.float32),
+                       np.asarray(dc, np.float32).reshape(-1, 4))
 
 
 def box3d_iou(box1: np.ndarray, box2: np.ndarray, mode: str = "3d") -> float:
@@ -92,12 +105,17 @@ def box3d_iou(box1: np.ndarray, box2: np.ndarray, mode: str = "3d") -> float:
 
 
 def _frame_matches(pred_boxes, pred_scores, gt_boxes, iou_thresh, mode,
-                   det_small=None):
+                   det_small=None, care=None, ious=None):
     """Greedy score-ordered matching against the full (P, G) IoU matrix.
 
-    Detections flagged `det_small` (below the devkit's min 2D height) are
-    matched *after* all regular detections so they cannot steal a GT from a
-    real detection (devkit: ignored detections are neither TP nor FP).
+    Devkit assignment order (cpp/evaluate_object.cpp):
+      * detections flagged `det_small` (below the difficulty's min 2D
+        height) match *after* all regular detections, so they cannot
+        steal a GT from a real detection;
+      * care (valid) GTs take priority over don't-care GTs — an ignored
+        neighbor-class / harder-bucket GT only absorbs a detection that
+        matches NO available care GT above threshold, even at lower IoU.
+    Pass a precomputed `ious` (P, G) matrix to skip recomputation.
     Returns (tp_flags, matched_gt_idx).
     """
     P, G = len(pred_boxes), len(gt_boxes)
@@ -105,20 +123,43 @@ def _frame_matches(pred_boxes, pred_scores, gt_boxes, iou_thresh, mode,
     gt_idx = np.full(P, -1, np.int32)
     if P == 0 or G == 0:
         return tp, gt_idx
-    ious = box3d_iou_matrix_np(pred_boxes, gt_boxes, mode)  # (P, G)
+    if ious is None:
+        ious = box3d_iou_matrix_np(pred_boxes, gt_boxes, mode)  # (P, G)
     if det_small is None:
         det_small = np.zeros(P, bool)
+    if care is None:
+        care = np.ones(G, bool)
     # regular detections first (by descending score), then small ones
     order = np.lexsort((-np.asarray(pred_scores), det_small))
     matched = np.zeros(G, bool)
     for pi in order:
-        row = np.where(matched, -1.0, ious[pi])
+        avail = (~matched) & (ious[pi] >= iou_thresh)
+        if not avail.any():
+            continue
+        cand = avail & care
+        if not cand.any():
+            cand = avail                  # only don't-care GTs remain
+        row = np.where(cand, ious[pi], -1.0)
         gi = int(np.argmax(row))
-        if row[gi] >= iou_thresh:
-            matched[gi] = True
-            tp[pi] = True
-            gt_idx[pi] = gi
+        matched[gi] = True
+        tp[pi] = True
+        gt_idx[pi] = gi
     return tp, gt_idx
+
+
+def _in_dontcare_region(boxes2d: np.ndarray, dontcare: np.ndarray,
+                        min_overlap: float = 0.5) -> np.ndarray:
+    """(P,) bool: detection 2D boxes whose intersection with any DontCare
+    region exceeds `min_overlap` of the DETECTION's area (the devkit's
+    boxoverlap criterion=1: denominator is the detection box)."""
+    x1 = np.maximum(boxes2d[:, None, 0], dontcare[None, :, 0])
+    y1 = np.maximum(boxes2d[:, None, 1], dontcare[None, :, 1])
+    x2 = np.minimum(boxes2d[:, None, 2], dontcare[None, :, 2])
+    y2 = np.minimum(boxes2d[:, None, 3], dontcare[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area = np.clip((boxes2d[:, 2] - boxes2d[:, 0])
+                   * (boxes2d[:, 3] - boxes2d[:, 1]), 1e-6, None)
+    return (inter / area[:, None] > min_overlap).any(axis=1)
 
 
 def _interp_ap(recall, precision, num_points: int) -> float:
@@ -155,11 +196,21 @@ def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
     Returns {difficulty: AP}; with compute_aos=True also
     {difficulty + "_aos": AOS} for frames that carry pred_alphas.
     """
+    # the (P, G) IoU matrix does not depend on the difficulty bucket —
+    # compute it once per frame (3x less work than per-difficulty)
+    frame_ious = []
+    for fr in frames:
+        pb = np.asarray(fr["pred_boxes"]).reshape(-1, 7)
+        gb = fr["gt"].boxes_lidar
+        frame_ious.append(
+            box3d_iou_matrix_np(pb, gb, mode)
+            if len(pb) and len(gb) else None)
+
     results = {}
     for diff in difficulties:
         min_h, max_occ, max_trunc = DIFFICULTY[diff]
         scores_all, tp_all, sim_all, num_gt = [], [], [], 0
-        for fr in frames:
+        for fr, ious in zip(frames, frame_ious):
             gt: GroundTruth = fr["gt"]
             care = ((gt.bbox_height >= min_h)
                     & (gt.occlusion <= max_occ)
@@ -176,24 +227,38 @@ def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
                          else np.zeros(len(pred_boxes), bool))
             tp, gt_idx = _frame_matches(
                 pred_boxes, pred_scores, gt.boxes_lidar, iou_thresh, mode,
-                det_small)
+                det_small, care, ious)
             # devkit ignore rules — dropped from the PR curve entirely:
             #   * matched to a don't-care GT (neighbor class / harder bucket)
             #   * detection below the min 2D height (matched or not)
-            matched_dont_care = tp & ~care[np.where(gt_idx >= 0, gt_idx, 0)]
-            ignore = matched_dont_care | det_small
+            #   * unmatched detection inside a DontCare 2D region
+            safe_idx = np.where(gt_idx >= 0, gt_idx, 0)
+            matched_care = np.zeros(len(pred_boxes), bool)
+            if len(care):
+                matched_care = tp & care[safe_idx]
+            matched_dont_care = tp & ~matched_care
+            in_dontcare = np.zeros(len(pred_boxes), bool)
+            pred_boxes2d = fr.get("pred_boxes2d")
+            if len(gt.dontcare) and pred_boxes2d is not None:
+                in_dontcare = (~tp) & _in_dontcare_region(
+                    np.asarray(pred_boxes2d, np.float32).reshape(-1, 4),
+                    gt.dontcare)
+            ignore = matched_dont_care | det_small | in_dontcare
+            # a care GT consumed by a below-min-height detection leaves
+            # the denominator: the devkit counts neither TP nor FN there
+            num_gt -= int((matched_care & det_small).sum())
             keep = ~ignore
             scores_all.append(pred_scores[keep])
-            kept_tp = tp[keep]
-            tp_all.append(kept_tp)
+            tp_all.append(matched_care[keep])
             if compute_aos:
                 pred_alphas = fr.get("pred_alphas")
                 sim = np.zeros(len(pred_boxes))
                 if pred_alphas is not None and gt.alpha is not None \
                         and len(gt.alpha):
                     delta = (np.asarray(pred_alphas).reshape(-1)
-                             - gt.alpha[np.where(gt_idx >= 0, gt_idx, 0)])
-                    sim = np.where(tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+                             - gt.alpha[safe_idx])
+                    sim = np.where(matched_care,
+                                   (1.0 + np.cos(delta)) / 2.0, 0.0)
                 sim_all.append(sim[keep])
         if num_gt == 0:
             results[diff] = float("nan")
