@@ -222,3 +222,20 @@ def test_batch_iterator_num_real_marks_padding(kitti_dir, tiny_config):
     batches = list(make_batch_iterator(ds, batch_size=2, shuffle=False,
                                        drop_remainder=False))
     assert [b["num_real"] for b in batches] == [2, 2, 1]
+
+
+def test_plan_batches_tiles_small_dataset():
+    """A dataset smaller than one batch must wrap REPEATEDLY so batches
+    stay full-size (static-shape contract); num_real reports the
+    non-padding count."""
+    from voxelnet_tpu.data.dataset import plan_batches
+
+    plan = plan_batches(3, 8, shuffle=False, drop_remainder=False)
+    assert len(plan) == 1
+    idxs, num_real = plan[0]
+    assert len(idxs) == 8 and num_real == 3
+    assert list(idxs) == [0, 1, 2, 0, 1, 2, 0, 1]
+    # the threaded pipeline shares the same plan
+    plan2 = plan_batches(10, 4, shuffle=True, seed=3,
+                         drop_remainder=False, process_shard=(1, 2))
+    assert all(len(i) == 2 for i, _ in plan2)  # local rows of global 4

@@ -146,3 +146,27 @@ def test_two_process_full_trainer(tmp_path):
         f"{i:06d}.txt" for i in range(4)]
     # checkpoint written collectively
     assert (exp / "checkpoints" / "0").is_dir()
+
+
+def test_local_rows_dedups_replicated_model_axis():
+    """Arrays replicated over 'model' expose one addressable shard per
+    device; local_rows must return each batch row exactly once, and fall
+    back to a global fetch when trailing axes are sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from voxelnet_tpu.parallel import distributed
+
+    mesh = distributed.make_multihost_mesh(num_dcn=1, num_data=4,
+                                           num_model=2)
+    x = jnp.arange(8 * 3, dtype=jnp.float32).reshape(8, 3)
+    xs = jax.device_put(x, NamedSharding(mesh, P(("dcn", "data"))))
+    np.testing.assert_array_equal(distributed.local_rows(xs),
+                                  np.asarray(x))
+    # batch AND trailing axis sharded (e.g. W-sharded maps)
+    y = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+    ys = jax.device_put(
+        y, NamedSharding(mesh, P(("dcn", "data"), "model")))
+    np.testing.assert_array_equal(distributed.local_rows(ys),
+                                  np.asarray(y))

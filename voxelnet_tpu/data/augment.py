@@ -73,7 +73,13 @@ def augment_pointcloud(points: np.ndarray, gt_boxes_cam: np.ndarray,
     gt_boxes_cam = np.asarray(gt_boxes_cam, np.float32).reshape(-1, 7)
     choice = rng.integers(0, 10)
 
-    if choice >= 7 and len(gt_boxes_cam):
+    if choice >= 7 and not len(gt_boxes_cam):
+        # reference parity: a boxless frame drawn into the per-box branch
+        # is a NO-OP (voxelnet/dataset.py:141-191 loops over zero boxes),
+        # not a reroute into global scaling
+        return points, gt_boxes_cam, "aug_1"
+
+    if choice >= 7:
         # per-box perturbation with collision check (dataset.py:143-191)
         lidar_boxes = geometry.camera_to_lidar_boxes(gt_boxes_cam)
         corners = geometry.center_to_corner_box3d(lidar_boxes, "lidar")

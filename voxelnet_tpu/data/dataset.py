@@ -163,42 +163,64 @@ def collate(examples: list[Example]) -> dict:
     return batch
 
 
+def plan_batches(num_examples: int, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_remainder: bool = True,
+                 process_shard: tuple[int, int] | None = None,
+                 ) -> list[tuple[np.ndarray, int]]:
+    """Plan one epoch's batches -> list of (example_idxs, num_real).
+
+    THE single batching plan shared by the threaded train pipeline
+    (data/pipeline.LazyBatchIterator) and the synchronous val/dump
+    iterator below, so sharded-loading semantics cannot diverge.
+
+    With drop_remainder=False the tail batch is padded by CYCLING the
+    epoch order until batch_size is reached (datasets smaller than one
+    batch wrap repeatedly — a single wrap would emit a short batch and
+    break the static-shape contract). num_real is the count of
+    non-padding examples.
+
+    process_shard=(pid, nproc): per-host loading — batch_size is the
+    GLOBAL batch and each process gets only its contiguous row block;
+    num_real stays the global count (padding rows sit at the end of the
+    global batch, i.e. in the highest-pid processes).
+    """
+    order = np.arange(num_examples)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if process_shard is not None:
+        pid, nproc = process_shard
+        if batch_size % nproc:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly "
+                f"across {nproc} processes (rows would be silently "
+                "dropped)")
+    plan = []
+    for start in range(0, num_examples, batch_size):
+        idxs = order[start:start + batch_size]
+        num_real = len(idxs)
+        if num_real < batch_size:
+            if drop_remainder:
+                break
+            idxs = np.concatenate(
+                [idxs, np.resize(order, batch_size - num_real)])
+        if process_shard is not None:
+            pid, nproc = process_shard
+            local = batch_size // nproc
+            idxs = idxs[pid * local:(pid + 1) * local]
+        plan.append((idxs, num_real))
+    return plan
+
+
 def make_batch_iterator(dataset: KITTIDataset, batch_size: int,
                         shuffle: bool = True, seed: int = 0,
                         drop_remainder: bool = True,
                         process_shard: tuple[int, int] | None = None,
                         ) -> Iterator[dict]:
-    """Epoch iterator of collated batches.
-
-    With drop_remainder=False the tail batch is padded by wrapping to keep
-    shapes static; `batch["num_real"]` gives the count of non-padding
-    examples so consumers can skip the wrapped duplicates.
-
-    process_shard=(pid, nproc): per-host loading — batch_size is the GLOBAL
-    batch and each process loads only its contiguous row block;
-    `num_real` stays the global count (padding rows sit at the end of the
-    global batch, i.e. in the highest-pid processes).
-    """
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    n = len(order)
-    for start in range(0, n, batch_size):
-        idxs = order[start:start + batch_size]
-        num_real = len(idxs)
-        if num_real < batch_size:
-            if drop_remainder:
-                return
-            idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
-        if process_shard is not None:
-            pid, nproc = process_shard
-            if batch_size % nproc:
-                raise ValueError(
-                    f"global batch_size {batch_size} must divide evenly "
-                    f"across {nproc} processes (rows would be silently "
-                    "dropped)")
-            local = batch_size // nproc
-            idxs = idxs[pid * local:(pid + 1) * local]
+    """Epoch iterator of collated batches (see plan_batches for the
+    wrap-padding / per-host sharding semantics)."""
+    for idxs, num_real in plan_batches(
+            len(dataset), batch_size, shuffle, seed, drop_remainder,
+            process_shard):
         batch = collate([dataset[int(i)] for i in idxs])
         batch["num_real"] = num_real
         yield batch

@@ -71,33 +71,16 @@ class LazyBatchIterator:
                  drop_remainder: bool = True,
                  transform: Callable[[dict], dict] | None = None,
                  process_shard: tuple[int, int] | None = None):
-        from voxelnet_tpu.data.dataset import collate
+        from voxelnet_tpu.data.dataset import collate, plan_batches
 
         self._transform = transform
-        order = np.arange(len(dataset))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        chunks = []
-        n = len(order)
-        for start in range(0, n, batch_size):
-            idxs = order[start:start + batch_size]
-            if len(idxs) < batch_size:
-                if drop_remainder:
-                    break
-                idxs = np.concatenate([idxs, order[:batch_size - len(idxs)]])
-            chunks.append(idxs)
-        if process_shard is not None:
-            # per-host data loading: batch_size is the GLOBAL batch; every
-            # process builds the same global order (same seed) but loads
-            # only its contiguous row block of each batch
-            pid, nproc = process_shard
-            if batch_size % nproc:
-                raise ValueError(
-                    f"global batch_size {batch_size} must divide evenly "
-                    f"across {nproc} processes (rows would be silently "
-                    "dropped)")
-            local = batch_size // nproc
-            chunks = [c[pid * local:(pid + 1) * local] for c in chunks]
+        # the SAME plan (shuffle, cyclic tail wrap, per-host row block)
+        # as the synchronous iterator — see dataset.plan_batches
+        chunks = [
+            idxs for idxs, _ in plan_batches(
+                len(dataset), batch_size, shuffle, seed, drop_remainder,
+                process_shard)
+        ]
 
         self._collate = collate
         self._dataset = dataset
@@ -154,6 +137,18 @@ class LazyBatchIterator:
             item = self._out.get()
             if item is self._DONE:
                 self._live -= 1
+                if self._error is not None:
+                    # fail fast: drain the work queue so surviving
+                    # workers exit instead of loading (and buffering,
+                    # unbounded) the rest of the epoch behind the error
+                    try:
+                        while True:
+                            self._work.get_nowait()
+                    except queue.Empty:
+                        pass
+                    for _ in range(self._live):
+                        self._work.put(self._DONE)  # release blocked peers
+                    raise self._error
                 continue
             seq, batch = item
             self._pending[seq] = batch

@@ -55,7 +55,12 @@ def align_img_and_velo(velodyne_dir: str, calib_dir: str,
         src = os.path.join(velodyne_dir, fname)
         if archive_dir:
             os.makedirs(archive_dir, exist_ok=True)
-            shutil.copy2(src, os.path.join(archive_dir, fname))
+            dst = os.path.join(archive_dir, fname)
+            # never clobber an existing archive: on a re-run the source
+            # is already cropped and copying it would destroy the only
+            # remaining copy of the raw cloud
+            if not os.path.exists(dst):
+                shutil.copy2(src, dst)
         P, Tr, R = kitti.load_calib(calib_path)
         pts = kitti.read_point_cloud(src)
         cropped = crop_cloud_to_image(pts, P, Tr, R, img_w, img_h)

@@ -104,10 +104,29 @@ def global_batch_sharding(mesh: Mesh) -> NamedSharding:
 def local_rows(x) -> np.ndarray:
     """Extract THIS process's batch rows from a batch-sharded global array
     (inverse of stage_global_batch for one entry) — used by host-side
-    consumers (label dumps, viz) that operate per-host."""
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    consumers (label dumps, viz) that operate per-host.
+
+    Arrays replicated (or sharded on non-batch axes) over the 'model'
+    axis expose one addressable shard PER DEVICE: several shards then
+    cover the same batch rows (and possibly partial trailing axes).
+    Deduplicate by batch-row index and take each row block's
+    full-trailing-extent shard, else dumps would interleave duplicate or
+    partial rows and attribute predictions to the wrong frame."""
+    by_start: dict = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if tuple(s.data.shape[1:]) == tuple(x.shape[1:]):
+            by_start.setdefault(start, s)   # one copy per row block
+    if by_start:
+        return np.concatenate(
+            [np.asarray(by_start[k].data) for k in sorted(by_start)],
+            axis=0)
+    # trailing axes are themselves sharded (e.g. W-sharded maps): one
+    # global fetch, then slice this process's row blocks
+    blocks = sorted({(s.index[0].start or 0, s.index[0].stop)
+                     for s in x.addressable_shards})
+    arr = np.asarray(x)
+    return np.concatenate([arr[a:b] for a, b in blocks], axis=0)
 
 
 def stage_global_batch(mesh: Mesh, local_batch: dict,

@@ -16,6 +16,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from voxelnet_tpu.config import VoxelNetConfig
@@ -224,8 +225,24 @@ class Trainer:
             return None
         return (jax.process_index(), jax.process_count())
 
+    @staticmethod
+    def _fetch_metrics(metrics: dict) -> dict:
+        """Fetch a dict of device scalars in ONE value transfer.
+
+        On the tunneled axon backend each float(x) costs a ~30-60 ms
+        round trip (CLAUDE.md); stacking the scalars on device first
+        makes the whole dict one fetch."""
+        keys = [k for k, v in metrics.items() if hasattr(v, "dtype")]
+        if keys:
+            vec = np.asarray(jnp.stack([metrics[k] for k in keys]))
+            fetched = dict(zip(keys, (float(v) for v in vec)))
+            return {k: fetched.get(k, metrics[k]) for k in metrics}
+        return {k: float(v) for k, v in metrics.items()}
+
     def _log(self, group: str, metrics: dict, step: int):
         if self.summary is not None:
+            if any(hasattr(v, "dtype") for v in metrics.values()):
+                metrics = self._fetch_metrics(metrics)
             for k, v in metrics.items():
                 self.summary.add_scalar(f"{group}/{k}", float(v), step)
 
@@ -348,14 +365,18 @@ class Trainer:
                 global_step += 1
                 pending = stage_next()
 
-                if (i + 1) % print_interval == 0 and self._is_main:
-                    m = {k: float(v) for k, v in metrics.items()}
+                want_print = (i + 1) % print_interval == 0 and self._is_main
+                want_summary = (i + 1) % summary_interval == 0
+                if want_print or want_summary:
+                    # one stacked fetch shared by print AND summary
+                    m = self._fetch_metrics(metrics)
+                if want_print:
                     print(f"Train {i + 1} @ epoch {epoch + 1}/"
                           f"{cfg.train.num_epochs} - loss {m['loss']:.4f} "
                           f"| reg {m['reg_loss']:.4f} "
                           f"| cls {m['cls_loss']:.4f}")
-                if (i + 1) % summary_interval == 0:
-                    self._log("train", metrics, global_step)
+                if want_summary:
+                    self._log("train", m, global_step)
                     # static-cap saturation counters (host side); nonzero
                     # means max_points / max_gt_boxes silently truncated
                     self._log("saturation", {
@@ -373,6 +394,7 @@ class Trainer:
                     # NOTE: the reference logs *training* loss under its
                     # validate/ keys (voxelnet/train.py:180-184); we log the
                     # actual validation metrics.
+                    vmet = self._fetch_metrics(vmet)
                     self._log("validate", vmet, global_step)
                     try:
                         self._log_prediction_images(
@@ -390,6 +412,7 @@ class Trainer:
                 if val_batch is not None:
                     vmet, _, _ = self.eval_step(
                         self.state, self._device_batch(val_batch))
+                    vmet = self._fetch_metrics(vmet)
                     self._log("validate", vmet, global_step)
                     tot_val_loss += float(vmet["loss"])
                     tot_val_times += 1
@@ -426,11 +449,18 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         vis_dir = os.path.join(self.exp_dir, "vis", str(epoch + 1))
         seen = 0
+        global_seen = 0
         vis_count = 0
         nms_saturated = 0
         for batch in make_batch_iterator(
                 self.val_ds, cfg.val.batch_size, shuffle=False,
                 drop_remainder=False, process_shard=self._process_shard):
+            # max_frames gates on the GLOBAL frame count so every process
+            # stops after the SAME batch — a per-process count would
+            # desynchronize the collective eval_step (distributed hang)
+            if max_frames and global_seen >= max_frames:
+                break
+            global_seen += batch.get("num_real", len(batch["tags"]))
             _, probs, deltas = self.eval_step(
                 self.state, self._device_batch(batch))
             det, n_cand = self.decode_fn(probs, deltas)
@@ -471,8 +501,6 @@ class Trainer:
                     except Exception:
                         pass  # viz is best-effort (missing image/cv2)
                 seen += 1
-                if max_frames and seen >= max_frames:
-                    return
         if nms_saturated:
             print(f"[saturation] nms_pre_topk dropped candidates on "
                   f"{nms_saturated}/{seen} val frames — consider raising "
