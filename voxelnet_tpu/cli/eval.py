@@ -27,7 +27,6 @@ def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
     for fname in sorted(os.listdir(preds_dir)):
         if not fname.endswith(".txt"):
             continue
-        tag = fname[:-4]
         gt_path = os.path.join(gt_dir, fname)
         if not os.path.exists(gt_path):
             continue
@@ -40,22 +39,29 @@ def load_frames_from_dirs(preds_dir: str, gt_dir: str, cls_name: str,
             pred_lines = f.readlines()
         with open(gt_path) as f:
             gt_lines = f.readlines()
-        # filter prediction lines ONCE so boxes and scores stay paired
-        pred_lines = [line for line in pred_lines
-                      if line.split() and line.split()[0] == cls_name]
+        # split + filter prediction lines ONCE so all columns stay paired
+        fields = [ln.split() for ln in pred_lines]
+        keep = [(ln, fs) for ln, fs in zip(pred_lines, fields)
+                if fs and fs[0] == cls_name]
+        for _, fs in keep:
+            if len(fs) != 16:
+                raise ValueError(
+                    f"{fname}: prediction line has {len(fs)} fields — "
+                    "expected 16 (15 KITTI fields + trailing score); a "
+                    "15-field file would silently rank detections by "
+                    "rotation_y")
+        pred_lines = [ln for ln, _ in keep]
+        fields = [fs for _, fs in keep]
         # cls_name="" accepts every (pre-filtered) line, preserving order
         pred_boxes = kitti.parse_label_lines(pred_lines, "", "lidar", T, R)
-        scores = np.array([float(line.split()[-1]) for line in pred_lines],
-                          np.float32)
-        # 2D box heights (devkit small-detection rule) + alphas (AOS) from
-        # the emitted 15/16-field lines; heights of 0 mean the dump had no
-        # calib to project with -> rule unavailable for this frame
-        boxes2d = np.array([[float(v) for v in ln.split()[4:8]]
-                            for ln in pred_lines],
+        scores = np.array([float(fs[-1]) for fs in fields], np.float32)
+        # 2D boxes (devkit small-detection + DontCare rules) + alphas
+        # (AOS) from the emitted lines; heights of 0 mean the dump had no
+        # calib to project with -> rules unavailable for this frame
+        boxes2d = np.array([[float(v) for v in fs[4:8]] for fs in fields],
                            np.float32).reshape(-1, 4)
         heights = boxes2d[:, 3] - boxes2d[:, 1]
-        alphas = np.array([float(ln.split()[3]) for ln in pred_lines],
-                          np.float32)
+        alphas = np.array([float(fs[3]) for fs in fields], np.float32)
         frame = {
             "pred_boxes": pred_boxes,
             "pred_scores": scores,

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import random
 
 if os.environ.get("VOXELNET_PLATFORM"):
     import jax
@@ -36,7 +35,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Orbax checkpoint path (omit for random weights)")
     p.add_argument("--pcl", type=str, required=True,
-                   help=".bin file or directory of .bin files")
+                   help=".bin file or directory of .bin files (all are processed)")
     p.add_argument("--class-name", type=str, default="Car")
     p.add_argument("--cfg", type=str, default=None)
     args = p.parse_args(argv)
@@ -45,29 +44,37 @@ def main(argv=None):
     if args.cfg:
         config = config.merge_from_file(args.cfg)
 
-    variables = init_params(config, jax.random.key(0))
     if args.checkpoint:
         # accepts a save_single dir, a trainer step dir, or a trainer
         # checkpoints root (latest step)
         variables = ckpt_lib.load_variables(args.checkpoint)
+    else:
+        variables = init_params(config, jax.random.key(0))
 
     if os.path.isdir(args.pcl):
-        files = glob.glob(os.path.join(args.pcl, "*.bin"))
-        path = random.choice(files)
+        paths = sorted(glob.glob(os.path.join(args.pcl, "*.bin")))
+        if not paths:
+            raise SystemExit(f"no .bin files in {args.pcl!r}")
     else:
-        path = args.pcl
-    pcl = kitti.read_point_cloud(path)
-    points, n = pad_points(pcl, config.data.max_points)
+        paths = [args.pcl]
 
     infer = jax.jit(make_inference_fn(config))
-    det = infer(variables, points[None], np.asarray([n], np.int32))
-    valid = np.asarray(det.valid[0])
-    boxes = np.asarray(det.boxes[0])[valid]
-    scores = np.asarray(det.scores[0])[valid]
-    print(f"{path}: {valid.sum()} detections")
-    for b, s in zip(boxes, scores):
-        print(f"  score={s:.4f} box(x,y,z,h,w,l,r)="
-              + " ".join(f"{v:.3f}" for v in b))
+    rng = np.random.default_rng(0)
+    for path in paths:
+        pcl = kitti.read_point_cloud(path)
+        # uniform subsample on overflow, like the training pipeline
+        # (data/dataset.py:119-123) — unshuffled truncation would drop a
+        # contiguous azimuth sector of raw uncropped scans
+        points, n = pad_points(pcl, config.data.max_points, rng=rng,
+                               shuffle=config.data.shuffle_points)
+        det = infer(variables, points[None], np.asarray([n], np.int32))
+        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes[0])[valid]
+        scores = np.asarray(det.scores[0])[valid]
+        print(f"{path}: {valid.sum()} detections")
+        for b, s in zip(boxes, scores):
+            print(f"  score={s:.4f} box(x,y,z,h,w,l,r)="
+                  + " ".join(f"{v:.3f}" for v in b))
 
 
 if __name__ == "__main__":

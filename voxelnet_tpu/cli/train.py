@@ -78,16 +78,15 @@ def main(argv=None):
         a, b = args.profile_steps.split(":")
         profile_steps = (int(a), int(b))
 
-    import os
+    from dataclasses import replace
 
     for cls_name in classes:
         config = get_config(cls_name)
         if args.cfg:
             config = config.merge_from_file(args.cfg)
         if args.data_dir:
-            config = config.replace(
-                data=config.data.__class__(
-                    **{**config.data.__dict__, "dir": args.data_dir}))
+            config = replace(
+                config, data=replace(config.data, dir=args.data_dir))
         print(config.dump_yaml())
 
         with Trainer(

@@ -124,18 +124,32 @@ def resolve_vfe_backend(config: VoxelNetConfig) -> str:
     shape constraints (T < 128, max_voxels % 128 == 0).
     """
     configured = config.data.vfe_backend
+    sys = config.system
+    sharded = (sys.num_data_shards * sys.num_model_shards
+               * getattr(sys, "num_dcn_shards", 1)) > 1
+    if configured == "fused":
+        # an explicit request must not silently change semantics: the
+        # kernel implements the corrected masked-max VFE only, and a
+        # pallas_call does not auto-partition over a mesh
+        if config.compat.bn_over_padding:
+            raise ValueError(
+                "data.vfe_backend='fused' is incompatible with "
+                "compat.bn_over_padding (reference ghost-activation "
+                "semantics) — use the 'xla' backend")
+        if sharded:
+            raise ValueError(
+                "data.vfe_backend='fused' does not partition over a "
+                "device mesh — use 'xla' (or 'auto') for sharded configs")
+        return configured
     if configured != "auto":
         return configured
     if config.compat.bn_over_padding:
         # the fused kernel implements the corrected masked-max semantics;
         # reference ghost-activation parity mode must take the XLA path
         return "xla"
-    sys = config.system
-    unsharded = (sys.num_data_shards == sys.num_model_shards
-                 == getattr(sys, "num_dcn_shards", 1) == 1)
     fits = (config.object.points_per_voxel < 128
             and config.data.max_voxels % 128 == 0)
-    if unsharded and fits and jax.default_backend() == "tpu":
+    if not sharded and fits and jax.default_backend() == "tpu":
         return "fused"
     return "xla"
 

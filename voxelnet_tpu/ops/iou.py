@@ -62,6 +62,17 @@ def bev_corners(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([cx, cy], axis=-1)
 
 
+def corners_to_standup(corners: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 2) corners -> (..., 4) axis-aligned (x1, y1, x2, y2).
+
+    jnp analog of voxelnet/utils.py:230-239; the shared rotated-corner
+    AABB used by standup-mode NMS and target assignment."""
+    return jnp.stack([
+        corners[..., 0].min(axis=-1), corners[..., 1].min(axis=-1),
+        corners[..., 0].max(axis=-1), corners[..., 1].max(axis=-1),
+    ], axis=-1)
+
+
 def _seg_matrix(subj, clip, origin_xy, shrink, out_transposed):
     """Shoelace contributions of subject-edge parts inside clip quads.
 

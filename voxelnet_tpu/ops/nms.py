@@ -88,11 +88,7 @@ def nms_bev(boxes3d: jnp.ndarray, scores: jnp.ndarray, *,
     if mode == "rotated":
         mat = iou_ops.rotated_iou(bev, bev)
     elif mode == "standup":
-        corners = iou_ops.bev_corners(bev)
-        standup = jnp.stack([
-            corners[..., 0].min(axis=-1), corners[..., 1].min(axis=-1),
-            corners[..., 0].max(axis=-1), corners[..., 1].max(axis=-1),
-        ], axis=-1)
+        standup = iou_ops.corners_to_standup(iou_ops.bev_corners(bev))
         mat = iou_ops.standup_iou(standup, standup)
     else:
         raise ValueError(f"unknown NMS mode {mode!r}")

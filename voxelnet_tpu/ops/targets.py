@@ -49,11 +49,7 @@ def gt_standup(gt_boxes: jnp.ndarray) -> jnp.ndarray:
     jnp analog of center_to_corner -> standup (voxelnet/utils.py:230-256).
     """
     bev = gt_boxes[:, jnp.asarray([0, 1, 4, 5, 6])]  # x, y, w, l, r
-    corners = iou.bev_corners(bev)                   # (G, 4, 2)
-    return jnp.stack([
-        corners[..., 0].min(axis=-1), corners[..., 1].min(axis=-1),
-        corners[..., 0].max(axis=-1), corners[..., 1].max(axis=-1),
-    ], axis=-1)
+    return iou.corners_to_standup(iou.bev_corners(bev))
 
 
 def assign_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,

@@ -31,6 +31,12 @@ def parse_label_lines(lines, cls_name: str = "Car",
     in camera coordinates; the reorder matches voxelnet/utils.py:199-200.
     An empty `cls_name` accepts every class (used by augmentation).
     """
+    if cls_name and cls_name not in ACCEPTED_CLASSES:
+        # an unknown name must not silently behave like the
+        # accept-everything wildcard reserved for cls_name=""
+        raise ValueError(
+            f"unknown class {cls_name!r}; expected one of "
+            f"{sorted(ACCEPTED_CLASSES)} or '' for all classes")
     acc = ACCEPTED_CLASSES.get(cls_name, ())
     boxes = []
     for line in lines:
