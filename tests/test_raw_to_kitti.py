@@ -76,7 +76,8 @@ def fake_raw_drive(tmp_path):
 
 def test_convert_counts_and_layout(fake_raw_drive, tmp_path):
     out = str(tmp_path / "det")
-    counts = convert_drive(fake_raw_drive, "0001", out, val_every=4)
+    counts = convert_drive(fake_raw_drive, "0001", out, val_every=4,
+                           split_mode="interleave")
     assert counts["training"] == 3 and counts["validation"] == 1
     # frames 0,1 carry 2 cars each; frames 2,3 have none annotated
     assert counts["objects"] == 4
@@ -93,7 +94,8 @@ def test_label_roundtrip_to_lidar(fake_raw_drive, tmp_path):
     """Emitted labels, parsed back with the training-path parser, must
     reproduce the tracklet's lidar box (the A/B trains on these)."""
     out = str(tmp_path / "det")
-    convert_drive(fake_raw_drive, "0001", out, val_every=4)
+    convert_drive(fake_raw_drive, "0001", out, val_every=4,
+                  split_mode="interleave")
     calib = os.path.join(out, "training", "calib", "000000.txt")
     P, Tr, R = kitti.load_calib(calib)
     with open(os.path.join(out, "training", "label_2", "000000.txt")) as f:
@@ -117,7 +119,8 @@ def test_gt_as_predictions_scores_perfect_ap(fake_raw_drive, tmp_path):
     from voxelnet_tpu.cli.eval import load_frames_from_dirs
 
     out = str(tmp_path / "det")
-    convert_drive(fake_raw_drive, "0001", out, val_every=2)
+    convert_drive(fake_raw_drive, "0001", out, val_every=2,
+                  split_mode="interleave")
     gt_dir = os.path.join(out, "validation", "label_2")
     calib_dir = os.path.join(out, "validation", "calib")
     preds = tmp_path / "preds"
@@ -133,3 +136,20 @@ def test_gt_as_predictions_scores_perfect_ap(fake_raw_drive, tmp_path):
     res = evaluate_ap(frames, iou_thresh=0.7, mode="3d", num_points=11)
     vals = [float(v) for v in res.values() if v == v]
     assert vals and max(vals) > 0.99
+
+
+def test_block_split_is_contiguous_tail(fake_raw_drive, tmp_path):
+    """Default split: the val frames are ONE contiguous block at the end
+    of the drive (de-leaked A/B split — interleaving puts val frames
+    seconds from train frames of the same scene instant)."""
+    out = str(tmp_path / "det")
+    counts = convert_drive(fake_raw_drive, "0001", out,
+                           split_mode="block", val_frac=0.5)
+    # ceil(4 * 0.5) = 2 val frames: the LAST two
+    assert counts["training"] == 2 and counts["validation"] == 2
+    train_tags = sorted(os.listdir(os.path.join(out, "training",
+                                                "velodyne")))
+    val_tags = sorted(os.listdir(os.path.join(out, "validation",
+                                              "velodyne")))
+    assert train_tags == ["000000.bin", "000001.bin"]
+    assert val_tags == ["000002.bin", "000003.bin"]

@@ -135,11 +135,22 @@ def tracklet_label_lines(frame_tracklets, P2, R0, Tr,
 
 def convert_drive(raw_root: str, drive: str, out_dir: str,
                   val_every: int = 4, symlink: bool = True,
-                  img_w: int = 1242, img_h: int = 375) -> dict:
+                  img_w: int = 1242, img_h: int = 375,
+                  split_mode: str = "block",
+                  val_frac: float = 0.25) -> dict:
     """Convert one synchronized raw drive into training/validation splits.
 
-    Frames are interleaved (every `val_every`-th frame -> validation) so
-    both splits cover the whole drive. Returns per-split frame counts.
+    split_mode='block' (default): the LAST ceil(val_frac * n) frames form
+    a contiguous validation block. A drive is one continuous scene, so an
+    interleaved split puts val frames seconds away from train frames of
+    the same instant — AP then partly measures scene memorization. The
+    contiguous tail is the least-leaky split a single drive allows.
+
+    split_mode='interleave': every `val_every`-th frame -> validation
+    (both splits cover the whole drive; maximally leaky — kept for
+    comparison runs against the round-2 numbers).
+
+    Returns per-split frame counts.
     """
     date = os.path.basename(os.path.normpath(raw_root))
     sync = os.path.join(raw_root, f"{date}_drive_{drive}_sync")
@@ -160,11 +171,20 @@ def convert_drive(raw_root: str, drive: str, out_dir: str,
             per_frame.setdefault(frame, []).append(
                 (t.object_type, t.size, trans, float(rot[2]), int(occ[0])))
 
+    if split_mode not in ("block", "interleave"):
+        raise ValueError(f"unknown split_mode {split_mode!r}")
+    n_val = int(np.ceil(len(frames) * val_frac)) \
+        if split_mode == "block" else 0
+    val_start = len(frames) - n_val
+
     counts = {"training": 0, "validation": 0, "objects": 0}
     place = os.symlink if symlink else shutil.copy2
     for i, frame in enumerate(frames):
-        split = "validation" if (i % val_every) == (val_every - 1) \
-            else "training"
+        if split_mode == "block":
+            split = "validation" if i >= val_start else "training"
+        else:
+            split = "validation" if (i % val_every) == (val_every - 1) \
+                else "training"
         tag = f"{i:06d}"
         root = os.path.join(out_dir, split)
         for sub in ("velodyne", "image_2", "label_2", "calib"):
@@ -194,14 +214,22 @@ def main(argv=None):
                    help="date dir, e.g. .../data/2011_09_26")
     p.add_argument("--drive", default="0001")
     p.add_argument("--out-dir", required=True)
+    p.add_argument("--split-mode", default="block",
+                   choices=("block", "interleave"),
+                   help="block: contiguous val tail (least scene leakage);"
+                        " interleave: every Nth frame -> val")
+    p.add_argument("--val-frac", type=float, default=0.25,
+                   help="block mode: fraction of frames in the val tail")
     p.add_argument("--val-every", type=int, default=4,
-                   help="every Nth frame goes to validation")
+                   help="interleave mode: every Nth frame -> validation")
     p.add_argument("--copy", action="store_true",
                    help="copy instead of symlink")
     args = p.parse_args(argv)
     counts = convert_drive(args.raw_root, args.drive, args.out_dir,
                            val_every=args.val_every,
-                           symlink=not args.copy)
+                           symlink=not args.copy,
+                           split_mode=args.split_mode,
+                           val_frac=args.val_frac)
     print(counts)
 
 
