@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Iterator
 
 import numpy as np
@@ -148,6 +149,20 @@ class LazyBatchIterator:
                         pass
                     for _ in range(self._live):
                         self._work.put(self._DONE)  # release blocked peers
+                    # a worker blocked on the full bounded _out queue
+                    # never reaches _work.get(); keep draining _out until
+                    # each thread exits (every drained slot unblocks one
+                    # put — including the finally-clause _DONE put).
+                    # Bounded wait: a worker wedged in dataset IO stays a
+                    # daemon thread, as before.
+                    deadline = time.monotonic() + 5.0
+                    for t in self._threads:
+                        while t.is_alive() and time.monotonic() < deadline:
+                            try:
+                                self._out.get(timeout=0.05)
+                            except queue.Empty:
+                                pass
+                            t.join(timeout=0.02)
                     raise self._error
                 continue
             seq, batch = item

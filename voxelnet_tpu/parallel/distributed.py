@@ -121,12 +121,24 @@ def local_rows(x) -> np.ndarray:
         return np.concatenate(
             [np.asarray(by_start[k].data) for k in sorted(by_start)],
             axis=0)
-    # trailing axes are themselves sharded (e.g. W-sharded maps): one
-    # global fetch, then slice this process's row blocks
-    blocks = sorted({(s.index[0].start or 0, s.index[0].stop)
+    # trailing axes are themselves sharded (e.g. W-sharded maps):
+    # assemble each row block from its addressable shards' index slices —
+    # np.asarray(global) would raise in a real multi-process run (the
+    # jax.Array spans non-addressable devices)
+    blocks = sorted({(s.index[0].start or 0,
+                      x.shape[0] if s.index[0].stop is None
+                      else s.index[0].stop)
                      for s in x.addressable_shards})
-    arr = np.asarray(x)
-    return np.concatenate([arr[a:b] for a, b in blocks], axis=0)
+    out = []
+    for a, b in blocks:
+        buf = np.zeros((b - a, *x.shape[1:]), x.dtype)
+        for s in x.addressable_shards:
+            if (s.index[0].start or 0) != a:
+                continue
+            trail = tuple(slice(i.start, i.stop) for i in s.index[1:])
+            buf[(slice(None), *trail)] = np.asarray(s.data)
+        out.append(buf)
+    return np.concatenate(out, axis=0)
 
 
 def stage_global_batch(mesh: Mesh, local_batch: dict,

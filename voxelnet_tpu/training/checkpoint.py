@@ -46,6 +46,17 @@ class CheckpointManager:
     def best_step(self) -> int | None:
         return self._mgr.best_step()
 
+    def best_metric(self, key: str = "val_loss") -> float | None:
+        """Best (minimum) recorded value of `key` across saved steps —
+        lets a resumed trainer keep its best-val-loss history instead of
+        resetting to inf (is_best would otherwise lie after resume)."""
+        best = self._mgr.best_step()
+        if best is None:
+            return None
+        metrics = self._mgr.metadata(best).metrics or {}
+        v = metrics.get(key)
+        return None if v is None else float(v)
+
     def restore(self, abstract_state: TrainState,
                 step: int | None = None) -> TrainState:
         step = step if step is not None else self._mgr.latest_step()

@@ -240,9 +240,12 @@ def evaluate_ap(frames: list[dict], iou_thresh: float = 0.7,
             in_dontcare = np.zeros(len(pred_boxes), bool)
             pred_boxes2d = fr.get("pred_boxes2d")
             if len(gt.dontcare) and pred_boxes2d is not None:
+                # devkit: the DontCare absorption threshold is the same
+                # MIN_OVERLAP[metric][class] used for matching, not a
+                # fixed 0.5 (cpp/evaluate_object.cpp computeStatistics)
                 in_dontcare = (~tp) & _in_dontcare_region(
                     np.asarray(pred_boxes2d, np.float32).reshape(-1, 4),
-                    gt.dontcare)
+                    gt.dontcare, min_overlap=iou_thresh)
             ignore = matched_dont_care | det_small | in_dontcare
             # a care GT consumed by a below-min-height detection leaves
             # the denominator: the devkit counts neither TP nor FN there

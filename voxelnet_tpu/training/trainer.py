@@ -31,8 +31,6 @@ from voxelnet_tpu.training.train_step import (
     TrainState, create_train_state, make_eval_step, make_train_step)
 from voxelnet_tpu.utils import kitti
 
-import jax.numpy as jnp
-
 
 def make_exp_dir(base: str = "exps") -> str:
     """exps/YYYY-MM-DD-NNN layout (voxelnet/train.py:99-122).
@@ -168,10 +166,16 @@ class Trainer:
             os.path.join(self.exp_dir, "checkpoints"),
             keep=config.train.keep_checkpoints)
         self.start_epoch = 0
+        self._resume_min_loss = float("inf")
         if resume_from:
             mgr = ckpt_lib.CheckpointManager(resume_from)
             self.state = mgr.restore(self.state)
             self.start_epoch = int(self.state.step) // steps_per_epoch
+            # carry the pre-resume best val loss so is_best / min-loss
+            # tracking does not forget history across resume
+            best = mgr.best_metric("val_loss")
+            if best is not None:
+                self._resume_min_loss = best
             mgr.close()
 
         self.summary = None
@@ -261,35 +265,44 @@ class Trainer:
             from voxelnet_tpu.utils import viz
         except ImportError:
             return
+        # decode runs OUTSIDE the best-effort viz guard: a decode_fn error
+        # is a real bug and must surface, not vanish with a missing image
         det, _ = self.decode_fn(probs, deltas)
         boxes = np.asarray(det.boxes[0])[np.asarray(det.valid[0])]
         tag = batch["tags"][0]
         gt = np.asarray(batch["gt_boxes"][0])[np.asarray(batch["gt_mask"][0])]
 
-        img_path = os.path.join(self.val_ds.data_dir, "image_2", tag + ".png")
-        calib_path = os.path.join(self.config.data.calib_dir, tag + ".txt")
-        P = Tr = R = None
-        if os.path.exists(calib_path):
-            P, Tr, R = kitti.load_calib(calib_path)
-        img = cv2.imread(img_path) if os.path.exists(img_path) else None
-        if img is not None:
-            front = viz.draw_boxes3d_on_image(
-                img, boxes, gt, P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
-            self.summary.add_image(
-                "predict/front_view_rgb", front.transpose(2, 0, 1), step)
+        try:
+            img_path = os.path.join(
+                self.val_ds.data_dir, "image_2", tag + ".png")
+            calib_path = os.path.join(
+                self.config.data.calib_dir, tag + ".txt")
+            P = Tr = R = None
+            if os.path.exists(calib_path):
+                P, Tr, R = kitti.load_calib(calib_path)
+            img = cv2.imread(img_path) if os.path.exists(img_path) else None
+            if img is not None:
+                front = viz.draw_boxes3d_on_image(
+                    img, boxes, gt, P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
+                self.summary.add_image(
+                    "predict/front_view_rgb", front.transpose(2, 0, 1),
+                    step)
 
-        points = np.asarray(batch["points"][0])
-        points = points[: int(batch["num_points"][0])]
-        bev = viz.lidar_to_bev_image(points, self.config.object, factor=2)
-        bev = viz.draw_boxes3d_on_bev(bev, boxes, self.config.object,
-                                      gt_boxes3d=gt, factor=2)
-        self.summary.add_image("predict/bird_view_lidar",
-                               bev.transpose(2, 0, 1), step)
+            points = np.asarray(batch["points"][0])
+            points = points[: int(batch["num_points"][0])]
+            bev = viz.lidar_to_bev_image(points, self.config.object,
+                                         factor=2)
+            bev = viz.draw_boxes3d_on_bev(bev, boxes, self.config.object,
+                                          gt_boxes3d=gt, factor=2)
+            self.summary.add_image("predict/bird_view_lidar",
+                                   bev.transpose(2, 0, 1), step)
 
-        heat = viz.colorize_heatmap(
-            np.asarray(probs[0]).transpose(2, 0, 1), factor=2)
-        self.summary.add_image("predict/bird_view_heatmap",
-                               heat.transpose(2, 0, 1), step)
+            heat = viz.colorize_heatmap(
+                np.asarray(probs[0]).transpose(2, 0, 1), factor=2)
+            self.summary.add_image("predict/bird_view_heatmap",
+                                   heat.transpose(2, 0, 1), step)
+        except Exception:
+            pass  # viz is best-effort (unreadable image / calib / cv2)
 
     # -- main loop --------------------------------------------------------
     def _next_val_batch(self):
@@ -321,7 +334,7 @@ class Trainer:
         voxelnet/train.py:144-162).
         """
         cfg = self.config
-        min_loss = float("inf")
+        min_loss = self._resume_min_loss
         global_step = int(self.state.step)
         self._val_iter = None
         profiling = False
@@ -366,7 +379,11 @@ class Trainer:
                 pending = stage_next()
 
                 want_print = (i + 1) % print_interval == 0 and self._is_main
-                want_summary = (i + 1) % summary_interval == 0
+                # gate on the writer: without one _log is a no-op, and the
+                # stacked device fetch costs ~30-60 ms on the tunneled
+                # backend — non-main processes must not pay it
+                want_summary = ((i + 1) % summary_interval == 0
+                                and self.summary is not None)
                 if want_print or want_summary:
                     # one stacked fetch shared by print AND summary
                     m = self._fetch_metrics(metrics)
@@ -396,11 +413,8 @@ class Trainer:
                     # actual validation metrics.
                     vmet = self._fetch_metrics(vmet)
                     self._log("validate", vmet, global_step)
-                    try:
-                        self._log_prediction_images(
-                            val_batch, vprobs, vdeltas, global_step)
-                    except Exception:
-                        pass  # viz is best-effort (missing images/calib)
+                    self._log_prediction_images(
+                        val_batch, vprobs, vdeltas, global_step)
                     tot_val_loss += float(vmet["loss"])
                     tot_val_times += 1
 
