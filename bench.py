@@ -65,8 +65,8 @@ def load_frames(max_points: int, batch: int):
 
 
 def _make_stage_fn(stage: str, config, host_targets: bool = False,
-                   vfe_backend: str = "xla"):
-    """Build (jitted chained fn, batch-maker, metric label) per stage.
+                   vfe_backend: str = "xla", host_voxelize: bool = False):
+    """Build (jitted chained fn, metric label[, batch prep]) per stage.
 
     Stages mirror the BASELINE.json config ladder:
       vfe     — voxelize + VFE stack (config 1)
@@ -74,8 +74,15 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
       infer   — full graph incl. decode + rotated NMS (config 3, default)
       train   — full training step (config 4); --host-targets feeds
                 pipeline-precomputed target maps (the production trainer
-                path) instead of assigning targets on device
+                path) instead of assigning targets on device;
+                --host-voxelize feeds pipeline-voxelized buffers (the
+                KITTIDataset(host_voxelize=True) path) so the in-graph
+                voxelizer drops out of the step entirely
       targets — on-device target assignment alone (train-step decomposition)
+
+    Returns (chained, label) or (chained, label, prep); prep maps one
+    host (points, num_points) batch to the tuple of arrays `chained`
+    takes ahead of the salt argument.
     """
     import jax
     import jax.numpy as jnp
@@ -102,12 +109,37 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
         return chained, (f"KITTI frames/sec/chip ({config.object.name}, "
                          "inference, full graph incl. voxelize+rotated-NMS)")
 
-    if stage in ("vfe", "dense"):
+    if stage in ("vfe", "dense", "middle"):
+        from voxelnet_tpu.models.middle import MiddleLayers
+        from voxelnet_tpu.models.scatter import scatter_to_dense_folded
+        from voxelnet_tpu.models.voxelnet import resolve_middle_backend
+
         fln = FeatureLearningNet(dtype=jnp.bfloat16)
         fln_vars = {
             "params": variables["params"]["feature_net"],
             "batch_stats": variables["batch_stats"]["feature_net"],
         }
+        middle_backend = resolve_middle_backend(config)
+
+        def tail(vw, coords, counts):
+            if stage == "vfe":
+                return vw.sum().astype(jnp.float32) * 0.0
+            if middle_backend == "folded2d":
+                dense = scatter_to_dense_folded(
+                    vw, coords, counts, config.object.grid_size)
+            else:
+                dense = scatter_to_dense(vw, coords, counts,
+                                         config.object.grid_size)
+            if stage == "dense":
+                return dense.sum().astype(jnp.float32) * 0.0
+            bev = MiddleLayers(
+                dtype=jnp.bfloat16, backend=middle_backend,
+                depth_in=config.object.grid_size[0]).apply(
+                {"params": variables["params"]["middle"],
+                 "batch_stats": variables["batch_stats"]["middle"]},
+                dense, False)
+            return bev.sum().astype(jnp.float32) * 0.0
+
         if vfe_backend == "fused":
             from voxelnet_tpu.kernels.vfe_fused import voxelize_vfe_fused
 
@@ -116,11 +148,7 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
                 vw, coords, counts = voxelize_vfe_fused(
                     p + salt, n, spec, config.data.max_voxels,
                     fln_vars["params"], fln_vars["batch_stats"])
-                if stage == "dense":
-                    dense = scatter_to_dense(vw, coords, counts,
-                                             config.object.grid_size)
-                    return dense.sum().astype(jnp.float32) * 0.0
-                return vw.sum().astype(jnp.float32) * 0.0
+                return tail(vw, coords, counts)
         else:
             @jax.jit
             def chained(p, n, salt):
@@ -128,17 +156,16 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
                                          config.data.max_voxels, backend)
                 vw = fln.apply(fln_vars, vox.features, vox.counts,
                                train=False)
-                if stage == "dense":
-                    dense = scatter_to_dense(vw, vox.coords, vox.counts,
-                                             config.object.grid_size)
-                    return dense.sum().astype(jnp.float32) * 0.0
-                return vw.sum().astype(jnp.float32) * 0.0
+                return tail(vw, vox.coords, vox.counts)
 
         tag = " [fused pallas]" if vfe_backend == "fused" else ""
-        label = (f"KITTI frames/sec/chip (Car, voxelize+VFE{tag})"
-                 if stage == "vfe"
-                 else f"KITTI frames/sec/chip (Car, voxelize+VFE+dense "
-                      f"grid{tag})")
+        label = {
+            "vfe": f"KITTI frames/sec/chip (Car, voxelize+VFE{tag})",
+            "dense": (f"KITTI frames/sec/chip (Car, voxelize+VFE+dense "
+                      f"grid{tag})"),
+            "middle": (f"KITTI frames/sec/chip (Car, voxelize+VFE+dense+"
+                       f"middle[{middle_backend}]{tag})"),
+        }[stage]
         return chained, label
 
     if stage == "train":
@@ -161,6 +188,32 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
             maps = pre({"gt_boxes": gt, "gt_mask": gt_mask})
             for k in ("target_pos", "target_neg", "target_reg"):
                 extra[k] = jax.device_put(maps[k])
+
+        if host_voxelize:
+            from voxelnet_tpu.ops.voxelize import voxelize_np
+
+            def prep(pts, nums):
+                feats, crds, cnts = [], [], []
+                for b in range(len(pts)):
+                    vox = voxelize_np(pts[b, : nums[b]], spec,
+                                      max_voxels=config.data.max_voxels)
+                    feats.append(vox.features)
+                    crds.append(vox.coords)
+                    cnts.append(vox.counts)
+                return (np.stack(feats), np.stack(crds),
+                        np.stack(cnts).astype(np.int32))
+
+            def chained(f, c, cnt, salt):
+                batch = {"voxel_features": f + salt, "voxel_coords": c,
+                         "voxel_counts": cnt, **extra}
+                state_holder[0], metrics = step(state_holder[0], batch)
+                return metrics["loss"] * 0.0
+
+            kind = ("host voxels+targets" if host_targets
+                    else "host voxels, on-device targets")
+            return (chained,
+                    f"KITTI frames/sec/chip ({config.object.name}, "
+                    f"training step, {kind}+grads+SGD)", prep)
 
         def chained(p, n, salt):
             batch = {"points": p + salt, "num_points": n, **extra}
@@ -200,20 +253,34 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="infer",
-                    choices=("vfe", "dense", "infer", "train", "targets"))
+                    choices=("vfe", "dense", "middle", "infer", "train",
+                             "targets"))
+    ap.add_argument("--middle-backend", default=None,
+                    choices=("auto", "conv3d", "folded2d"),
+                    help="override data.middle_backend (conv3d = plain "
+                         "Conv3D, folded2d = depth-folded Conv2D lowering)")
     ap.add_argument("--class-name", default="Car",
                     choices=("Car", "Pedestrian", "Cyclist"))
     ap.add_argument("--host-targets", action="store_true",
                     help="train stage: feed pipeline-precomputed target "
                          "maps (production trainer path)")
+    ap.add_argument("--host-voxelize", action="store_true",
+                    help="train stage: feed pipeline-voxelized buffers "
+                         "(KITTIDataset(host_voxelize=True) path); the "
+                         "in-graph voxelizer drops out of the step")
     ap.add_argument("--vfe-backend", default="xla",
                     choices=("xla", "fused"),
                     help="vfe/dense stages: 'fused' = single Pallas "
                          "kernel for table build + VFE stack")
     ap.add_argument("--batch", type=int, default=None,
                     help=f"frames per device batch (default {BATCH})")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repetitions; value = mean, spread = "
+                         "max-min across runs")
     args = ap.parse_args(argv)
-    if args.batch:
+    if args.batch is not None:
+        if args.batch < 1:
+            ap.error(f"--batch must be >= 1, got {args.batch}")
         BATCH = args.batch
 
     import jax
@@ -222,11 +289,16 @@ def main(argv=None):
     from voxelnet_tpu.config import get_config
 
     config = get_config(args.class_name)
-    chained, label = _make_stage_fn(args.stage, config, args.host_targets,
-                                    args.vfe_backend)
+    if args.middle_backend is not None:
+        config = get_config(args.class_name,
+                            data={"middle_backend": args.middle_backend})
+    made = _make_stage_fn(args.stage, config, args.host_targets,
+                          args.vfe_backend, args.host_voxelize)
+    chained, label = made[0], made[1]
+    prep = made[2] if len(made) > 2 else (lambda p, n: (p, n))
 
     batches = load_frames(config.data.max_points, BATCH)
-    dev_batches = [(jax.device_put(p), jax.device_put(n))
+    dev_batches = [tuple(jax.device_put(a) for a in prep(p, n))
                    for p, n in batches]
 
     # Chain a zero-valued salt through iterations so the device executes
@@ -236,21 +308,29 @@ def main(argv=None):
     salt = chained(*dev_batches[0], jnp.float32(0))
     float(salt)  # warmup / compile
 
-    salt = jnp.float32(0)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        p, n = dev_batches[i % len(dev_batches)]
-        salt = chained(p, n, salt)
-    float(salt)  # forces the whole chain
-    elapsed = time.perf_counter() - t0
+    # repeat the timed chain to quantify run-to-run variance (round-2
+    # recorded single measurements drifting ~2% between sessions)
+    fps_runs = []
+    for _ in range(max(1, args.repeats)):
+        salt = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            salt = chained(*dev_batches[i % len(dev_batches)], salt)
+        float(salt)  # forces the whole chain
+        elapsed = time.perf_counter() - t0
+        fps_runs.append(BATCH * ITERS / elapsed)
 
-    fps = BATCH * ITERS / elapsed
+    fps = float(np.mean(fps_runs))
+    spread = float(np.max(fps_runs) - np.min(fps_runs))
     result = {
         "metric": label,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": (round(fps / BASELINE_FPS, 2)
                         if BASELINE_FPS and args.stage == "infer" else None),
+        "repeats": len(fps_runs),
+        "spread": round(spread, 2),
+        "runs": [round(v, 2) for v in fps_runs],
     }
     print(json.dumps(result))
 
