@@ -74,6 +74,12 @@ class DataConfig:
     # single Pallas voxelize+VFE kernel (kernels/vfe_fused.py, 2.5x the
     # XLA stage on v5e); 'auto' selects it on TPU for unsharded graphs
     vfe_backend: str = "auto"
+    # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d'. 'folded2d'
+    # computes each Conv3D as ONE block-banded Conv2D with depth folded
+    # into channels (models/middle.py — same parameters, same math,
+    # MXU-shaped contractions); 'auto' picks the measured winner per
+    # backend (BASELINE.md MFU ladder).
+    middle_backend: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -223,6 +229,13 @@ class RPNConfig:
     # reference's axis-aligned NMS, voxelnet/model.py:39-48);
     # 'standup' = reference-parity axis-aligned NMS.
     nms_mode: str = "rotated"
+    # RPN first-block stride. The reference builds block1 with stride 1
+    # for Pedestrian/Cyclist (voxelnet/model.py:221-227), which makes the
+    # head output 2x the anchor grid — a latent shape bug (SURVEY.md §2);
+    # every preset here uses 2. Set 1 (with object.feature_ratio=1 for
+    # self-consistent shapes) to instantiate the reference's exact
+    # non-Car topology for parity checks.
+    block1_stride: int = 2
 
 
 @dataclass(frozen=True)
@@ -263,6 +276,12 @@ class CompatConfig:
     # "ghost" activations the padded zero-rows produce through
     # Dense+ReLU+BN. Default False = mask-aware BN and masked max.
     bn_over_padding: bool = False
+    # augmentation collision check: the reference rasterizes BEV polygons
+    # with cv2.fillConvexPoly onto an IMAGE-sized (375x1242) buffer in
+    # grid-index pixels (voxelnet/dataset.py:222-240) — int-truncated
+    # corners, y rows >= IMAGE.HEIGHT clipped away. Default False = exact
+    # rotated-rectangle IoU (data/augment.rotated_iou_2d).
+    raster_collision: bool = False
 
 
 @dataclass(frozen=True)

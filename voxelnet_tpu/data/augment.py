@@ -10,7 +10,10 @@ Differences (documented): collision checking uses exact rotated-rectangle
 IoU (geometry, vectorized) instead of the reference's cv2 polygon
 rasterization onto an image-sized buffer (dataset.py:222-240), and the RNG
 is an explicit np.random.Generator instead of a re-seeded global
-(dataset.py:123 — reference reseeds per sample).
+(dataset.py:123 — reference reseeds per sample). The
+`compat.raster_collision` flag routes the collision check through
+`raster_iou_2d`, which reproduces the reference's raster quantization
+bit-for-bit (int-truncated grid-pixel corners, image-sized buffer).
 """
 
 from __future__ import annotations
@@ -58,17 +61,60 @@ def rotated_iou_2d(box1: np.ndarray, box2: np.ndarray) -> float:
     return inter / union if union > 0 else 0.0
 
 
+def raster_iou_2d(box1: np.ndarray, box2: np.ndarray, obj_config,
+                  image_hw: tuple[int, int] = (375, 1242)) -> float:
+    """Reference-parity BEV IoU via cv2 polygon rasterization.
+
+    Reproduces voxelnet/dataset.py:222-240 `calc_iou2d` exactly: corners
+    -> BEV grid-index pixels ((p - min) / voxel_size, clipped to the grid
+    extent), int32-TRUNCATED, rasterized with cv2.fillConvexPoly onto an
+    IMAGE-sized (H=375, W=1242) buffer — note the buffer is image-sized
+    while coords are grid-sized, so for the Car grid rows 375..400 fall
+    off the buffer (a reference quirk this mode carries). IoU =
+    shared / (shared + exclusive) pixels; 0.0 when both rasters are
+    identical-or-empty (the reference's `indiv == 0` early-out).
+    """
+    import cv2
+
+    h, w = image_hw
+    corners = geometry.center_to_corner_box2d(
+        np.stack([box1, box2]).astype(np.float32))       # (2, 4, 2)
+    bufs = []
+    for c in corners:
+        a = (c[:, 0] - obj_config.x_min) / obj_config.x_voxel_size
+        b = (c[:, 1] - obj_config.y_min) / obj_config.y_voxel_size
+        a = np.clip(a, 0, (obj_config.x_max - obj_config.x_min)
+                    / obj_config.x_voxel_size)
+        b = np.clip(b, 0, (obj_config.y_max - obj_config.y_min)
+                    / obj_config.y_voxel_size)
+        pix = np.stack([a, b], axis=-1).astype(np.int32)
+        buf = np.zeros((h, w, 3))
+        bufs.append(cv2.fillConvexPoly(buf, pix, color=(1, 1, 1))[..., 0])
+    buf1, buf2 = bufs
+    indiv = np.sum(np.absolute(buf1 - buf2))
+    share = np.sum((buf1 + buf2) == 2)
+    if indiv == 0:
+        return 0.0
+    return float(share / (indiv + share))
+
+
 def augment_pointcloud(points: np.ndarray, gt_boxes_cam: np.ndarray,
-                       rng: np.random.Generator):
+                       rng: np.random.Generator,
+                       collision_iou=None):
     """Apply one randomly chosen augmentation.
 
     Args:
       points: (N, 4) lidar points (modified copy returned).
       gt_boxes_cam: (G, 7) GT boxes in camera coordinates.
       rng: numpy Generator.
+      collision_iou: optional fn(box1, box2) -> float overriding the
+        exact rotated IoU for the per-box collision check (the
+        compat.raster_collision mode passes raster_iou_2d here).
 
     Returns (points, gt_boxes_cam, tag_suffix).
     """
+    if collision_iou is None:
+        collision_iou = rotated_iou_2d
     points = points.copy()
     gt_boxes_cam = np.asarray(gt_boxes_cam, np.float32).reshape(-1, 7)
     choice = rng.integers(0, 10)
@@ -90,8 +136,8 @@ def augment_pointcloud(points: np.ndarray, gt_boxes_cam: np.ndarray,
                 moved = geometry.box_transform(
                     lidar_boxes[idx:idx + 1], t_x, t_y, t_z, t_rz, "lidar")[0]
                 collision = any(
-                    rotated_iou_2d(moved[[0, 1, 4, 5, 6]],
-                                   lidar_boxes[j][[0, 1, 4, 5, 6]]) > 0
+                    collision_iou(moved[[0, 1, 4, 5, 6]],
+                                  lidar_boxes[j][[0, 1, 4, 5, 6]]) > 0
                     for j in range(idx)
                 )
                 if not collision:

@@ -103,8 +103,13 @@ class KITTIDataset:
         if self.augment and label_lines:
             gt_cam = kitti.parse_label_lines(label_lines, cls_name="",
                                              coordinate="camera")
+            collision_iou = None
+            if self.config.compat.raster_collision:
+                obj, img = self.config.object, self.config.image
+                collision_iou = lambda b1, b2: augment_lib.raster_iou_2d(
+                    b1, b2, obj, (img.height, img.width))
             points, gt_cam, suffix = augment_lib.augment_pointcloud(
-                points, gt_cam, rng)
+                points, gt_cam, rng, collision_iou=collision_iou)
             classes = kitti.parse_label_classes(label_lines)
             label_lines = kitti.boxes_to_label_lines(
                 gt_cam, classes, coordinate="camera")

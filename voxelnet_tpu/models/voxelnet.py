@@ -13,10 +13,11 @@ as jittable functions so that
                  loss -> grads (the reference ran targets on the host every
                  step, model.py:309).
 
-Note: the RPN first-block stride is 2 for every class. The reference uses
-stride 1 for Pedestrian/Cyclist (model.py:221-227), which makes its head
-output 2x the anchor grid and would break its own target shapes — a latent
-bug we do not carry (SURVEY.md §2).
+Note: the RPN first-block stride defaults to 2 for every class. The
+reference uses stride 1 for Pedestrian/Cyclist (model.py:221-227), which
+makes its head output 2x the anchor grid and would break its own target
+shapes — a latent bug we do not carry by default; `rpn.block1_stride: 1`
+instantiates that exact topology for parity checks (SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -31,7 +32,8 @@ import numpy as np
 from voxelnet_tpu.config import VoxelNetConfig
 from voxelnet_tpu.models.middle import MiddleLayers
 from voxelnet_tpu.models.rpn import RPN
-from voxelnet_tpu.models.scatter import scatter_to_dense
+from voxelnet_tpu.models.scatter import (
+    scatter_to_dense, scatter_to_dense_folded)
 from voxelnet_tpu.models.vfe import FeatureLearningNet
 from voxelnet_tpu.ops import anchors as anchor_ops
 from voxelnet_tpu.ops import box_coding, nms
@@ -53,6 +55,12 @@ class VoxelNet(nn.Module):
     grid_dzyx: tuple[int, int, int]
     dtype: Any = jnp.bfloat16
     bn_over_padding: bool = False
+    # rpn.block1_stride: 1 reproduces the reference's (buggy) non-Car
+    # topology, voxelnet/model.py:221-227
+    rpn_block1_stride: int = 2
+    # 'conv3d' | 'folded2d' — mathematically identical middle-conv
+    # lowerings sharing one parameter tree (models/middle.py)
+    middle_backend: str = "conv3d"
     spatial_shard: bool = False
     # partition entry for the batch axis in sharding constraints: 'data'
     # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
@@ -64,19 +72,29 @@ class VoxelNet(nn.Module):
         voxelwise = FeatureLearningNet(
             dtype=self.dtype, bn_over_padding=self.bn_over_padding,
             name="feature_net")(features, counts, train)
-        dense = scatter_to_dense(voxelwise, coords, counts, self.grid_dzyx)
+        folded = self.middle_backend == "folded2d"
+        if folded:
+            dense = scatter_to_dense_folded(
+                voxelwise, coords, counts, self.grid_dzyx)
+        else:
+            dense = scatter_to_dense(
+                voxelwise, coords, counts, self.grid_dzyx)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
-            dense = jax.lax.with_sharding_constraint(
-                dense, P(self.batch_axes, None, None, "model", None))
-        bev = MiddleLayers(dtype=self.dtype, name="middle")(dense, train)
+            spec = (P(self.batch_axes, None, "model", None) if folded
+                    else P(self.batch_axes, None, None, "model", None))
+            dense = jax.lax.with_sharding_constraint(dense, spec)
+        bev = MiddleLayers(dtype=self.dtype, backend=self.middle_backend,
+                           depth_in=self.grid_dzyx[0],
+                           name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
             bev = jax.lax.with_sharding_constraint(
                 bev, P(self.batch_axes, None, "model", None))
-        return RPN(dtype=self.dtype, name="rpn")(bev, train)
+        return RPN(block1_stride=self.rpn_block1_stride, dtype=self.dtype,
+                   name="rpn")(bev, train)
 
 
 class Detections(NamedTuple):
@@ -85,12 +103,26 @@ class Detections(NamedTuple):
     valid: jnp.ndarray    # (B, post_topk) bool
 
 
+def resolve_middle_backend(config: VoxelNetConfig) -> str:
+    """Resolve data.middle_backend. 'auto' picks the measured winner:
+    'folded2d' on TPU (BASELINE.md MFU ladder — the block-banded Conv2D
+    lowering fills the MXU where thin-channel Conv3D cannot), 'conv3d'
+    elsewhere (CPU/GPU XLA handles Conv3D fine and skips the Din/3 FLOP
+    multiplier)."""
+    configured = config.data.middle_backend
+    if configured != "auto":
+        return configured
+    return "folded2d" if jax.default_backend() == "tpu" else "conv3d"
+
+
 def build_model(config: VoxelNetConfig) -> VoxelNet:
     num_dcn = getattr(config.system, "num_dcn_shards", 1)
     return VoxelNet(
         grid_dzyx=config.object.grid_size,
         dtype=jnp.dtype(config.train.compute_dtype),
         bn_over_padding=config.compat.bn_over_padding,
+        rpn_block1_stride=config.rpn.block1_stride,
+        middle_backend=resolve_middle_backend(config),
         spatial_shard=config.system.num_model_shards > 1,
         batch_axes=("dcn", "data") if num_dcn > 1 else "data",
     )
@@ -119,27 +151,29 @@ def resolve_vfe_backend(config: VoxelNetConfig) -> str:
     'auto' selects the fused Pallas voxelize+VFE kernel
     (kernels/vfe_fused.py — measured 2.5x the XLA stage on v5e, 243 ->
     600 frames/sec at batch 8) when it applies: TPU backend (the kernel
-    needs Mosaic; CPU tests run interpret-mode separately), unsharded
-    graph (a pallas_call does not auto-partition over a mesh), and kernel
-    shape constraints (T < 128, max_voxels % 128 == 0).
+    needs Mosaic; CPU tests run interpret-mode separately), kernel shape
+    constraints (T < 128, max_voxels % 128 == 0), and no 'model'
+    sharding. Batch ('data'/'dcn') sharding is fine — the kernel runs
+    under shard_map per batch shard (voxelize_vfe_fused_sharded);
+    spatial 'model' sharding keeps the XLA path (the pallas_call would
+    compute replicated work on every model shard for no win).
     """
     configured = config.data.vfe_backend
     sys = config.system
-    sharded = (sys.num_data_shards * sys.num_model_shards
-               * getattr(sys, "num_dcn_shards", 1)) > 1
+    model_sharded = sys.num_model_shards > 1
     if configured == "fused":
         # an explicit request must not silently change semantics: the
-        # kernel implements the corrected masked-max VFE only, and a
-        # pallas_call does not auto-partition over a mesh
+        # kernel implements the corrected masked-max VFE only
         if config.compat.bn_over_padding:
             raise ValueError(
                 "data.vfe_backend='fused' is incompatible with "
                 "compat.bn_over_padding (reference ghost-activation "
                 "semantics) — use the 'xla' backend")
-        if sharded:
+        if model_sharded:
             raise ValueError(
-                "data.vfe_backend='fused' does not partition over a "
-                "device mesh — use 'xla' (or 'auto') for sharded configs")
+                "data.vfe_backend='fused' does not partition over the "
+                "spatial 'model' axis — use 'xla' (or 'auto') when "
+                "num_model_shards > 1")
         return configured
     if configured != "auto":
         return configured
@@ -149,12 +183,12 @@ def resolve_vfe_backend(config: VoxelNetConfig) -> str:
         return "xla"
     fits = (config.object.points_per_voxel < 128
             and config.data.max_voxels % 128 == 0)
-    if not sharded and fits and jax.default_backend() == "tpu":
+    if not model_sharded and fits and jax.default_backend() == "tpu":
         return "fused"
     return "xla"
 
 
-def make_inference_fn(config: VoxelNetConfig):
+def make_inference_fn(config: VoxelNetConfig, mesh=None):
     """Full single-graph inference: raw padded points -> NMS detections.
 
     Returns fn(variables, points (B, N, 4), num_points (B,)) -> Detections.
@@ -162,6 +196,10 @@ def make_inference_fn(config: VoxelNetConfig):
     With the fused VFE backend (resolve_vfe_backend) the voxel table build
     + VFE stack run as one Pallas kernel and the middle/RPN submodules are
     applied directly; the XLA path applies the whole VoxelNet module.
+
+    `mesh`: required when the config batch-shards ('data'/'dcn' > 1) and
+    the fused backend is selected — the kernel then runs under shard_map
+    over the batch axes (kernels/vfe_fused.voxelize_vfe_fused_sharded).
     """
     model = build_model(config)
     spec = VoxelGridSpec.from_object_config(config.object)
@@ -170,20 +208,45 @@ def make_inference_fn(config: VoxelNetConfig):
     backend = resolve_backend(config.data.voxelizer_backend)
     vfe_backend = resolve_vfe_backend(config)
 
-    def forward_fused(variables, points, num_points):
-        from voxelnet_tpu.kernels.vfe_fused import voxelize_vfe_fused
+    middle_backend = resolve_middle_backend(config)
+    sys_cfg = config.system
+    num_dcn = getattr(sys_cfg, "num_dcn_shards", 1)
+    batch_sharded = sys_cfg.num_data_shards * num_dcn > 1
+    if vfe_backend == "fused" and batch_sharded and mesh is None:
+        raise ValueError(
+            "make_inference_fn: batch-sharded config with the fused VFE "
+            "backend needs the mesh argument (shard_map)")
+    fused_batch_axes = (("dcn", "data") if num_dcn > 1 else ("data",))
 
-        vw, coords, counts = voxelize_vfe_fused(
-            points, num_points, spec, config.data.max_voxels,
-            variables["params"]["feature_net"],
-            variables["batch_stats"]["feature_net"])
-        dense = scatter_to_dense(vw, coords, counts, config.object.grid_size)
+    def forward_fused(variables, points, num_points):
+        from voxelnet_tpu.kernels.vfe_fused import (
+            voxelize_vfe_fused, voxelize_vfe_fused_sharded)
+
+        if batch_sharded:
+            vw, coords, counts = voxelize_vfe_fused_sharded(
+                points, num_points, spec, config.data.max_voxels,
+                variables["params"]["feature_net"],
+                variables["batch_stats"]["feature_net"],
+                mesh=mesh, batch_axes=fused_batch_axes)
+        else:
+            vw, coords, counts = voxelize_vfe_fused(
+                points, num_points, spec, config.data.max_voxels,
+                variables["params"]["feature_net"],
+                variables["batch_stats"]["feature_net"])
+        if middle_backend == "folded2d":
+            dense = scatter_to_dense_folded(
+                vw, coords, counts, config.object.grid_size)
+        else:
+            dense = scatter_to_dense(
+                vw, coords, counts, config.object.grid_size)
         dtype = jnp.dtype(config.train.compute_dtype)
-        bev = MiddleLayers(dtype=dtype).apply(
+        bev = MiddleLayers(dtype=dtype, backend=middle_backend,
+                           depth_in=config.object.grid_size[0]).apply(
             {"params": variables["params"]["middle"],
              "batch_stats": variables["batch_stats"]["middle"]},
             dense, False)
-        return RPN(dtype=dtype).apply(
+        return RPN(block1_stride=config.rpn.block1_stride,
+                   dtype=dtype).apply(
             {"params": variables["params"]["rpn"],
              "batch_stats": variables["batch_stats"]["rpn"]},
             bev, False)
