@@ -1,0 +1,119 @@
+"""Equivalence tests for the folded-2D middle-conv lowering
+(models/middle.py backend='folded2d'): each Conv3D computed as one
+block-banded Conv2D with depth folded into channels — same parameter
+tree, same math as the conv3d backend, so the two must agree to float
+tolerance in eval AND train mode (including running-stat updates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelnet_tpu.models.middle import MiddleLayers
+from voxelnet_tpu.models.scatter import (
+    scatter_to_dense, scatter_to_dense_folded)
+
+D, H, W, C = 10, 8, 8, 16
+
+
+@pytest.fixture(scope="module")
+def x5d():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, D, H, W, C)).astype(np.float32)
+    # sparse-ish like the real grid: zero out 90% of the voxels
+    mask = rng.random((2, D, H, W, 1)) < 0.1
+    return jnp.asarray(x * mask)
+
+
+@pytest.fixture(scope="module")
+def variables(x5d):
+    return MiddleLayers(dtype=jnp.float32).init(jax.random.key(0), x5d)
+
+
+def test_param_trees_identical(x5d, variables):
+    folded = MiddleLayers(dtype=jnp.float32, backend="folded2d").init(
+        jax.random.key(0), x5d)
+    ref_shapes = jax.tree.map(jnp.shape, variables)
+    fold_shapes = jax.tree.map(jnp.shape, folded)
+    assert ref_shapes == fold_shapes
+
+
+def test_eval_equivalence(x5d, variables):
+    y3 = MiddleLayers(dtype=jnp.float32).apply(variables, x5d, False)
+    yf = MiddleLayers(dtype=jnp.float32, backend="folded2d").apply(
+        variables, x5d, False)
+    assert y3.shape == yf.shape == (2, H, W, 128)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_eval_equivalence_4d_input(x5d, variables):
+    """The (B, H, W, D*C) d-major input path (scatter_to_dense_folded's
+    layout) must match the 5D path."""
+    b = x5d.shape[0]
+    x4d = x5d.transpose(0, 2, 3, 1, 4).reshape(b, H, W, D * C)
+    y3 = MiddleLayers(dtype=jnp.float32).apply(variables, x5d, False)
+    yf = MiddleLayers(dtype=jnp.float32, backend="folded2d",
+                      depth_in=D).apply(variables, x4d, False)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_train_equivalence_including_batch_stats(x5d, variables):
+    y3, m3 = MiddleLayers(dtype=jnp.float32).apply(
+        variables, x5d, True, mutable=["batch_stats"])
+    yf, mf = MiddleLayers(dtype=jnp.float32, backend="folded2d").apply(
+        variables, x5d, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
+                               rtol=1e-4, atol=1e-4)
+    flat3 = jax.tree_util.tree_leaves_with_path(m3["batch_stats"])
+    flatf = dict(jax.tree_util.tree_leaves_with_path(mf["batch_stats"]))
+    assert len(flat3) == 6 * 1  # 3 blocks x (mean, var)... structure check
+    for path, leaf in flat3:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flatf[path]),
+            rtol=1e-4, atol=1e-5, err_msg=str(path))
+
+
+def test_scatter_folded_matches_fold_of_dense():
+    rng = np.random.default_rng(1)
+    K = 32
+    feats = jnp.asarray(rng.normal(size=(2, K, C)).astype(np.float32))
+    coords = jnp.asarray(np.stack([
+        rng.integers(0, D, (2, K)), rng.integers(0, H, (2, K)),
+        rng.integers(0, W, (2, K))], axis=-1).astype(np.int32))
+    counts = jnp.asarray(
+        (rng.random((2, K)) < 0.8).astype(np.int32))
+    dense = scatter_to_dense(feats, coords, counts, (D, H, W))
+    folded = scatter_to_dense_folded(feats, coords, counts, (D, H, W))
+    ref = np.asarray(dense).transpose(0, 2, 3, 1, 4).reshape(2, H, W, D * C)
+    np.testing.assert_array_equal(ref, np.asarray(folded))
+
+
+def test_full_model_backend_equivalence(tiny_config, tiny_batch):
+    """End-to-end: the whole VoxelNet forward agrees across middle
+    backends on the tiny grid (bf16 compute tolerance)."""
+    from voxelnet_tpu.models.voxelnet import build_model, init_params
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+
+    import dataclasses
+
+    cfg3 = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="conv3d"))
+    cfgf = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="folded2d"))
+    variables = init_params(cfg3, jax.random.key(0))
+    spec = VoxelGridSpec.from_object_config(tiny_config.object)
+    vox = voxelize_batch_jax(
+        jnp.asarray(tiny_batch["points"]),
+        jnp.asarray(tiny_batch["num_points"]), spec,
+        tiny_config.data.max_voxels, "xla")
+    outs = {}
+    for name, cfg in (("conv3d", cfg3), ("folded2d", cfgf)):
+        model = build_model(cfg)
+        assert model.middle_backend == name
+        outs[name] = model.apply(variables, vox.features, vox.coords,
+                                 vox.counts, train=False)
+    for a, b in zip(outs["conv3d"], outs["folded2d"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.05)

@@ -5,14 +5,108 @@ Same topology as the reference middle stack (voxelnet/model.py:206-210,
 10 -> 5 -> 3 -> 2, then a reshape folding (depth, channels) into the BEV
 channel axis. TPU-native: NDHWC layout, bfloat16 compute, lowered straight
 to XLA convolutions.
+
+Two mathematically identical lowerings, selected by `backend`:
+
+  * 'conv3d'   — plain XLA Conv3D over the (B, D, H, W, C) grid.
+  * 'folded2d' — the depth axis lives in the channel axis: each Conv3D
+    becomes ONE Conv2D whose (3, 3, Din*Cin, Dout*Cout) weight is the
+    block-banded expansion of the (3, 3, 3, Cin, Cout) Conv3D weight
+    (zeros where |stride*d_out + kd - pad - d_in| says the tap doesn't
+    reach). Exact same math, same parameters — checkpoints interchange —
+    but the MXU sees contraction dims of 1280/320/192 instead of 128/64,
+    and the 5D tensor never materializes. Costs Din/3 x the FLOPs per
+    layer; wins when the utilization gain beats that (measured on
+    hardware, BASELINE.md MFU ladder).
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from voxelnet_tpu.models.init import torch_bias_init, torch_kernel_init
+
+# (cout, depth stride, depth pad) per block — voxelnet/model.py:206-210
+_BLOCKS = ((64, 2, 1), (64, 1, 0), (64, 2, 1))
+
+
+def _fold_depth(din: int, dout: int, stride_d: int, pad_d: int,
+                kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, 3, Cin, Cout) Conv3D weight -> (3, 3, Din*Cin, Dout*Cout)
+    block-banded Conv2D weight (channel order d-major both sides)."""
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    w2 = jnp.zeros((3, 3, din * cin, dout * cout), kernel.dtype)
+    for do in range(dout):
+        for kd in range(3):
+            di = do * stride_d + kd - pad_d
+            if 0 <= di < din:
+                w2 = w2.at[:, :, di * cin:(di + 1) * cin,
+                           do * cout:(do + 1) * cout].set(kernel[kd])
+    return w2
+
+
+class _FoldConv(nn.Module):
+    """Param-compatible stand-in for the block's nn.Conv (same 'kernel' /
+    'bias' parameters, same shapes/init) computing the depth-folded
+    Conv2D lowering. Input (B, H, W, Din*Cin) d-major."""
+
+    cout: int
+    cin: int
+    din: int
+    stride_d: int
+    pad_d: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.cin * 27),
+                          (self.cout,), jnp.float32)
+        dout = (self.din + 2 * self.pad_d - 3) // self.stride_d + 1
+        w2 = _fold_depth(self.din, dout, self.stride_d, self.pad_d, kernel)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w2.astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(bias, dout).astype(y.dtype)
+
+
+class _FoldBatchNorm(nn.Module):
+    """Param-compatible stand-in for the block's nn.BatchNorm: per-C
+    statistics shared across the depth slices folded into the channel
+    axis (what BatchNorm3d computes over (B, D, H, W)). Same 'scale' /
+    'bias' params and 'mean'/'var' batch_stats, flax momentum semantics."""
+
+    cout: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.cout,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.cout,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.cout,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.cout,), jnp.float32))
+        b, h, w, _ = x.shape
+        xr = x.reshape(b, h, w, -1, self.cout).astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = xr.mean(axis=(0, 1, 2, 3))
+            var = (xr * xr).mean(axis=(0, 1, 2, 3)) - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        y = (xr - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.reshape(b, h, w, -1)
 
 
 class ConvBlock3D(nn.Module):
@@ -20,9 +114,19 @@ class ConvBlock3D(nn.Module):
     stride_d: int
     pad_d: int
     dtype: jnp.dtype = jnp.bfloat16
+    # folded lowering: din/cin are static (channel axis carries Din*Cin)
+    folded: bool = False
+    din: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.folded:
+            cin = x.shape[-1] // self.din
+            x = _FoldConv(self.cout, cin, self.din, self.stride_d,
+                          self.pad_d, dtype=self.dtype, name="Conv_0")(x)
+            x = _FoldBatchNorm(self.cout, name="BatchNorm_0")(
+                x, use_running_average=not train)
+            return nn.relu(x).astype(self.dtype)
         x = nn.Conv(
             self.cout, kernel_size=(3, 3, 3),
             strides=(self.stride_d, 1, 1),
@@ -36,21 +140,51 @@ class ConvBlock3D(nn.Module):
         return nn.relu(x).astype(self.dtype)
 
 
+def _depth_out(din: int, stride_d: int, pad_d: int) -> int:
+    return (din + 2 * pad_d - 3) // stride_d + 1
+
+
 class MiddleLayers(nn.Module):
-    """(B, D, H, W, C) -> (B, H, W, D' * 64) BEV features.
+    """conv3d: (B, D, H, W, C) -> (B, H, W, D' * 64) BEV features.
+    folded2d: (B, H, W, D*C) d-major (scatter_to_dense_folded) -> same.
 
     Conv depth strides/pads (2,1)/(1,0)/(2,1) collapse D=10 to 2, matching
-    voxelnet/model.py:206-210; channels 128 -> 64 -> 64 -> 64.
+    voxelnet/model.py:206-210; channels 128 -> 64 -> 64 -> 64. Both
+    backends share one parameter tree (checkpoints interchange).
     """
 
     dtype: jnp.dtype = jnp.bfloat16
+    backend: str = "conv3d"
+    # folded2d with a 4D (B, H, W, D*C) input needs the static D
+    depth_in: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.backend == "folded2d":
+            if x.ndim == 5:  # accept the 5D layout too; fold it here
+                b, d, h, w, c = x.shape
+                x = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)
+                din = d
+            else:
+                if self.depth_in <= 0:
+                    raise ValueError(
+                        "MiddleLayers(backend='folded2d') with a 4D input "
+                        "needs depth_in (the static grid D)")
+                din = self.depth_in
+            b, h, w, _ = x.shape
+            for cout, stride_d, pad_d in _BLOCKS:
+                x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
+                                folded=True, din=din)(x, train)
+                din = _depth_out(din, stride_d, pad_d)
+            # reorder the (d, c) channel fold to the reference's c-major
+            # BEV layout (voxelnet/model.py:262): bev_channel = c*D' + d
+            x = x.reshape(b, h, w, din, -1).transpose(0, 1, 2, 4, 3)
+            return x.reshape(b, h, w, -1)
+
         b, _, h, w, _ = x.shape
-        x = ConvBlock3D(64, stride_d=2, pad_d=1, dtype=self.dtype)(x, train)
-        x = ConvBlock3D(64, stride_d=1, pad_d=0, dtype=self.dtype)(x, train)
-        x = ConvBlock3D(64, stride_d=2, pad_d=1, dtype=self.dtype)(x, train)
+        for cout, stride_d, pad_d in _BLOCKS:
+            x = ConvBlock3D(cout, stride_d, pad_d,
+                            dtype=self.dtype)(x, train)
         # fold remaining depth into channels: (B, D', H, W, C) ->
         # (B, H, W, C*D') with the CHANNEL axis major, matching the
         # reference's view of its NCDHW tensor (voxelnet/model.py:262
