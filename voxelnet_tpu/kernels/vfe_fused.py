@@ -141,15 +141,18 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
                        spec: VoxelGridSpec, max_voxels: int,
                        fln_params: dict, fln_stats: dict,
                        block_voxels: int = 128,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """Full fused path: padded raw points -> (voxelwise, coords, counts).
 
     points (B, N, 4), num_points (B,) -> voxelwise (B, K, 128) bf16,
     coords (B, K, 3) i32, counts (B, K) i32. The sort + run analysis stay
     XLA (2.4 ms/batch8 measured); table build + VFE fuse into the kernel.
     fln_params/fln_stats: the FeatureLearningNet variables
-    (params/batch_stats subtrees).
+    (params/batch_stats subtrees). interpret=None auto-selects the Pallas
+    interpreter off-TPU (CPU tests / virtual-device meshes).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     T = spec.max_points_per_voxel
     if T >= VSTRIDE:
         raise ValueError(f"points_per_voxel {T} must be < {VSTRIDE}")
@@ -219,3 +222,37 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
                        (b, 1, 128)),
       counts[:, :, None].astype(jnp.float32), w1, a1, w2, a2)
     return voxelwise, coords, counts
+
+
+def voxelize_vfe_fused_sharded(points: jnp.ndarray,
+                               num_points: jnp.ndarray,
+                               spec: VoxelGridSpec, max_voxels: int,
+                               fln_params: dict, fln_stats: dict,
+                               mesh, batch_axes=("data",),
+                               interpret: bool | None = None):
+    """shard_map wrapper over the batch mesh axes.
+
+    A pallas_call does not auto-partition over a mesh; the kernel is
+    embarrassingly batch-parallel, so each ('dcn','data') shard runs it
+    on its local batch rows with the FLN params replicated. Axes not in
+    `batch_axes` (e.g. 'model') see replicated compute — spatial 'model'
+    sharding of the downstream convs is unaffected (the kernel output is
+    identical on every model shard). Per-shard batch must be >= 1: the
+    global batch must divide by the product of the batch-axis sizes.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P(batch_axes)
+
+    def local(p, n, params, stats):
+        return voxelize_vfe_fused(p, n, spec, max_voxels, params, stats,
+                                  interpret=interpret)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axes, None, None), bspec, P(), P()),
+        out_specs=(P(batch_axes, None, None), P(batch_axes, None, None),
+                   P(batch_axes, None)),
+        check_vma=False,
+    )
+    return f(points, num_points, fln_params, fln_stats)
