@@ -240,3 +240,213 @@ def test_middle_bev_flatten_order_matches_torch(parity_setup):
 
     assert jbev.shape == tbev.shape
     np.testing.assert_allclose(jbev, tbev, atol=2e-4)
+
+
+def _make_voxel_batch(cfg, seed=0, K=64):
+    """Shared voxel-buffer batch both stacks accept.
+
+    Every voxel carries the full T points and coords are all distinct:
+    masked/empty rows would create exact value TIES in the voxel
+    max-pools, where the frameworks pick different (equally valid)
+    subgradients — jax splits among ties, torch routes to the first —
+    and one-step gradient parity would measure that tie-breaking choice
+    instead of the training semantics."""
+    rng = np.random.default_rng(seed)
+    T = cfg.object.points_per_voxel
+    feats = rng.normal(0, 1, (1, K, T, 7)).astype(np.float32)
+    feats[:, :, :, 3] = np.abs(feats[:, :, :, 3]) + 0.1
+    counts = np.full((1, K), T, np.int32)
+    D, H, W = cfg.object.depth, cfg.object.height, cfg.object.width
+    lin = rng.choice(D * H * W, size=K, replace=False)
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W],
+                      axis=-1).astype(np.int32)[None]
+    return feats, coords, counts
+
+
+def _assert_weights_match(params, tm, atol, also_changed_from=None):
+    """Walk the _copy_weights mapping in reverse: every torch tensor,
+    mapped back to the flax layout, must match the jax param. With
+    `also_changed_from` (the pre-step params), additionally require that
+    the step actually moved a meaningful fraction of tensors."""
+    pairs = []
+
+    def add(name, tt, jp, perm=None, flip=False, transpose=False):
+        w = tt.detach().numpy()
+        if transpose:
+            w = w.T
+        if perm is not None:
+            w = w.transpose(perm)
+        if flip:
+            w = w[::-1, ::-1]
+        jp = np.asarray(jp)
+        pairs.append((name, jp, w.astype(jp.dtype).copy()))
+
+    fn = params["feature_net"]
+    for name, tvfe in (("vfe1", tm.vfe1), ("vfe2", tm.vfe2)):
+        add(f"{name}.fcn.kernel", tvfe.fcn[0].weight, fn[name]["fcn"]["kernel"],
+            transpose=True)
+        add(f"{name}.fcn.bias", tvfe.fcn[0].bias, fn[name]["fcn"]["bias"])
+        add(f"{name}.bn.scale", tvfe.bn.weight, fn[name]["bn"]["scale"])
+        add(f"{name}.bn.bias", tvfe.bn.bias, fn[name]["bn"]["bias"])
+
+    mid = params["middle"]
+    for i in range(3):
+        blk = mid[f"ConvBlock3D_{i}"]
+        add(f"mid{i}.kernel", tm.middle[i * 3].weight, blk["Conv_0"]["kernel"],
+            perm=(2, 3, 4, 1, 0))
+        add(f"mid{i}.bias", tm.middle[i * 3].bias, blk["Conv_0"]["bias"])
+        add(f"mid{i}.bn.scale", tm.middle[i * 3 + 1].weight,
+            blk["BatchNorm_0"]["scale"])
+        add(f"mid{i}.bn.bias", tm.middle[i * 3 + 1].bias,
+            blk["BatchNorm_0"]["bias"])
+
+    rpn = params["rpn"]
+
+    def add_block(tblock, offset, count):
+        for j in range(count):
+            blk = rpn[f"ConvBNReLU_{offset + j}"]
+            add(f"rpn{offset + j}.kernel", tblock[j][0].weight,
+                blk["Conv_0"]["kernel"], perm=(2, 3, 1, 0))
+            add(f"rpn{offset + j}.bias", tblock[j][0].bias,
+                blk["Conv_0"]["bias"])
+            add(f"rpn{offset + j}.bn.scale", tblock[j][1].weight,
+                blk["BatchNorm_0"]["scale"])
+            add(f"rpn{offset + j}.bn.bias", tblock[j][1].bias,
+                blk["BatchNorm_0"]["bias"])
+
+    add_block(tm.block1, 0, 5)
+    add_block(tm.block2, 5, 6)
+    add_block(tm.block3, 11, 6)
+
+    for i, tdec in enumerate((tm.deconv1, tm.deconv2, tm.deconv3)):
+        blk = rpn[f"DeconvBNReLU_{i}"]
+        add(f"deconv{i}.kernel", tdec[0].weight,
+            blk["ConvTranspose_0"]["kernel"], perm=(2, 3, 0, 1), flip=True)
+        add(f"deconv{i}.bias", tdec[0].bias, blk["ConvTranspose_0"]["bias"])
+        add(f"deconv{i}.bn.scale", tdec[1].weight,
+            blk["BatchNorm_0"]["scale"])
+        add(f"deconv{i}.bn.bias", tdec[1].bias, blk["BatchNorm_0"]["bias"])
+
+    add("prob.kernel", tm.prob_head.weight, rpn["prob_conv"]["kernel"],
+        perm=(2, 3, 1, 0))
+    add("prob.bias", tm.prob_head.bias, rpn["prob_conv"]["bias"])
+    add("reg.kernel", tm.reg_head.weight, rpn["reg_conv"]["kernel"],
+        perm=(2, 3, 1, 0))
+    add("reg.bias", tm.reg_head.bias, rpn["reg_conv"]["bias"])
+
+    for name, jp, tp in pairs:
+        assert jp.shape == tp.shape, name
+        np.testing.assert_allclose(jp, tp, atol=atol, err_msg=name)
+
+    if also_changed_from is not None:
+        import jax as _jax
+
+        before = {p: np.asarray(v) for p, v in
+                  _jax.tree_util.tree_leaves_with_path(also_changed_from)}
+        after = _jax.tree_util.tree_leaves_with_path(params)
+        # the 5/||g|| global-norm clip shrinks updates ~3 orders of
+        # magnitude, so "moved" means any change at f64 resolution
+        moved = sum(
+            float(np.abs(np.asarray(v) - before[p]).max()) > 1e-12
+            for p, v in after)
+        assert moved > 0.9 * len(after), \
+            f"only {moved}/{len(after)} tensors moved in the SGD step"
+
+
+def test_one_step_training_parity(parity_setup):
+    """VERDICT round-2 item 2: transplant identical init into both
+    stacks, run ONE identical batch through one SGD(lr 0.01, global-norm
+    clip 5) step on each — training semantics (batch-stat BatchNorm,
+    corrected loss, grads, clipping, update) must agree weight-by-weight.
+    This replaces the noisy equal-epoch endpoint tables as the
+    training-parity proof (reference recipe: voxelnet/train.py:130-155).
+
+    Runs in float64 so float32 noise cannot mask (or excuse) a semantic
+    mismatch: in f32 the two stacks' gradients differ up to ~5% per
+    tensor from ReLU-boundary flips on conv summation-order drift; in
+    f64 the updated weights agree to ~5e-5 absolute, with the residual
+    attributable to the flax BN layers being intentionally pinned to
+    float32 accumulation (models/*: nn.BatchNorm(dtype=jnp.float32)).
+
+    Running BN statistics are intentionally NOT compared: torch updates
+    running_var with the unbiased batch variance, flax with the biased
+    one — a documented framework deviation that does not touch weights."""
+    import optax
+
+    from ab_torch_train import rpn_loss_torch
+    from voxelnet_tpu.ops import losses
+    from voxelnet_tpu.ops.targets import TargetPrecomputer
+
+    cfg, _, variables32, _ = parity_setup
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "compute_dtype": "float64"}))
+    jax_model = build_model(cfg)
+    tm = TorchModel(cfg.object.grid_size).train()
+    _copy_weights(variables32, tm)
+    tm = tm.double()
+
+    feats, coords, counts = _make_voxel_batch(cfg, seed=5)
+    feats = feats.astype(np.float64)
+    gt = np.zeros((1, 8, 7), np.float32)
+    gt[0, 0] = [6.0, 0.0, -1.0, 1.56, 1.6, 3.9, 0.3]
+    gt[0, 1] = [9.5, 2.0, -1.0, 1.56, 1.6, 3.9, -0.6]
+    gt_mask = np.zeros((1, 8), bool)
+    gt_mask[0, :2] = True
+    maps = TargetPrecomputer(cfg)({"gt_boxes": gt, "gt_mask": gt_mask})
+    pos, neg, regt = (maps["target_pos"].astype(np.float64),
+                      maps["target_neg"].astype(np.float64),
+                      maps["target_reg"].astype(np.float64))
+
+    lr, clip = 0.01, 5.0
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        variables = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), variables32)
+
+        # --- jax side: one jitted step --------------------------------
+        tx = optax.chain(optax.clip_by_global_norm(clip), optax.sgd(lr))
+
+        def loss_fn(params):
+            (cl, rg), _upd = jax_model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                feats, coords, counts, train=True, mutable=["batch_stats"])
+            out = losses.rpn_loss(
+                cl, rg, jnp.asarray(pos), jnp.asarray(neg),
+                jnp.asarray(regt), alpha=1.5, beta=1.0, sigma=3.0,
+                from_logits=True)
+            return out.loss, out
+
+        (jloss, _), grads = jax.jit(
+            lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+        )(variables["params"])
+        jloss = float(jloss)
+        jnorm = float(optax.global_norm(grads))
+        updates, _ = tx.update(grads, tx.init(variables["params"]),
+                               variables["params"])
+        new_params = jax.tree.map(
+            np.asarray, optax.apply_updates(variables["params"], updates))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # --- torch side: the reference recipe (train.py:151-155) ----------
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
+    tcoords = torch.from_numpy(np.concatenate(
+        [np.zeros((feats.shape[1], 1), np.int64),
+         coords[0].astype(np.int64)], axis=1))
+    cl, rg = tm(torch.from_numpy(feats[0]), tcoords, 1, logits=True)
+    tloss, _, _ = rpn_loss_torch(
+        cl.permute(0, 2, 3, 1), rg.permute(0, 2, 3, 1),
+        torch.from_numpy(pos), torch.from_numpy(neg),
+        torch.from_numpy(regt), alpha=1.5, beta=1.0, sigma=3.0)
+    opt.zero_grad()
+    tloss.backward()
+    tnorm = float(torch.nn.utils.clip_grad_norm_(tm.parameters(), clip))
+    opt.step()
+
+    # losses and grad norms agree before any update is taken
+    assert jloss == pytest.approx(float(tloss), rel=5e-5)
+    assert jnorm == pytest.approx(tnorm, rel=1e-3)
+    # updated weights agree tensor-by-tensor, and the step really moved
+    _assert_weights_match(new_params, tm, atol=2e-4,
+                          also_changed_from=variables32["params"])
