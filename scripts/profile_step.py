@@ -1,0 +1,175 @@
+"""Capture a jax.profiler device trace of the inference graph and the
+training step on real KITTI frames, and write an op-level summary.
+
+The tracing/profiling subsystem the reference lacks entirely (SURVEY.md
+§5 — its only instrumentation is wall-clock prints). Usage (TPU chip):
+
+    python scripts/profile_step.py --out profiles/ --stage both
+
+Writes profiles/trace_summary.md: top device ops by total time for each
+graph, plus the trace directory for TensorBoard's profile plugin. The
+summary is what gets committed; raw traces stay out of git.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_batch(config, batch):
+    from bench import load_frames
+
+    return load_frames(config.data.max_points, batch)[0]
+
+
+def _trace_one(tag, fn, args, logdir, iters=3):
+    import jax
+
+    # warmup/compile outside the trace
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(os.path.join(logdir, tag),
+                            create_perfetto_trace=True):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / iters
+    return wall
+
+
+def _parse_trace(trace_dir, iters):
+    """Aggregate device-op durations from the chrome-format trace."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # find device-track pids (TPU/device process names)
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = e.get("args", {}).get("name", "")
+            if any(k in pname.lower() for k in ("tpu", "device", "/device")):
+                device_pids.add(e.get("pid"))
+    agg = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        dur = float(e.get("dur", 0.0)) / 1e3 / iters  # us -> ms, per iter
+        agg[name] += dur
+        count[name] += 1
+        total += dur
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    return rows, count, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="profiles")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--stage", default="both",
+                    choices=("infer", "train", "both"))
+    ap.add_argument("--middle-backend", default=None)
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    from voxelnet_tpu.config import get_config
+
+    overrides = {}
+    if args.middle_backend:
+        overrides["data"] = {"middle_backend": args.middle_backend}
+    config = get_config("Car", **overrides)
+    os.makedirs(args.out, exist_ok=True)
+    logdir = os.path.join(args.out, "traces")
+
+    pts, nums = _load_batch(config, args.batch)
+    pts, nums = jax.device_put(pts), jax.device_put(nums)
+
+    sections = []
+
+    if args.stage in ("infer", "both"):
+        from voxelnet_tpu.models.voxelnet import (
+            init_params, make_inference_fn)
+
+        variables = init_params(config, jax.random.key(0))
+        infer = jax.jit(make_inference_fn(config))
+        wall = _trace_one("infer", infer, (variables, pts, nums),
+                          logdir, args.iters)
+        parsed = _parse_trace(os.path.join(logdir, "infer"), args.iters)
+        sections.append(("inference (full graph)", wall, parsed))
+
+    if args.stage in ("train", "both"):
+        from voxelnet_tpu.training import create_train_state, make_train_step
+        from voxelnet_tpu.training.optim import make_optimizer
+        from voxelnet_tpu.ops.targets import TargetPrecomputer
+
+        tx = make_optimizer(config, steps_per_epoch=100)
+        state = create_train_state(config, tx, jax.random.key(0))
+        step = make_train_step(config, tx, donate=False)
+        gt = np.zeros((args.batch, config.data.max_gt_boxes, 7), np.float32)
+        gt[:, 0] = [20.0, 0.0, -1.0, 1.56, 1.6, 3.9, 0.3]
+        gt_mask = np.zeros((args.batch, config.data.max_gt_boxes), bool)
+        gt_mask[:, 0] = True
+        maps = TargetPrecomputer(config)({"gt_boxes": gt,
+                                          "gt_mask": gt_mask})
+        batch = {"points": pts, "num_points": nums,
+                 **{k: jax.device_put(v) for k, v in maps.items()}}
+
+        def train_fn(state, batch):
+            new_state, metrics = step(state, batch)
+            return metrics["loss"]
+
+        wall = _trace_one("train", train_fn, (state, batch),
+                          logdir, args.iters)
+        parsed = _parse_trace(os.path.join(logdir, "train"), args.iters)
+        sections.append(("train step (fwd+bwd+SGD)", wall, parsed))
+
+    out_md = os.path.join(args.out, "trace_summary.md")
+    with open(out_md, "w") as f:
+        f.write(f"# jax.profiler device trace summary (batch "
+                f"{args.batch}, {args.iters} iters/graph)\n\n"
+                f"middle_backend="
+                f"{args.middle_backend or config.data.middle_backend}; "
+                f"traces under {logdir}/ (not committed).\n")
+        for title, wall, parsed in sections:
+            f.write(f"\n## {title} — wall {wall * 1e3:.1f} ms/iter "
+                    f"(batch {args.batch})\n\n")
+            if parsed is None:
+                f.write("(no device trace events captured — tunnel "
+                        "backend may not export device tracks)\n")
+                continue
+            rows, count, total = parsed
+            f.write(f"device ops total: {total:.1f} ms/iter\n\n")
+            f.write("| op | ms/iter | % | calls |\n|---|---|---|---|\n")
+            for name, ms in rows[: args.top]:
+                f.write(f"| `{name[:70]}` | {ms:.2f} | "
+                        f"{100 * ms / max(total, 1e-9):.1f}% | "
+                        f"{count[name]} |\n")
+    print(f"wrote {out_md}")
+    for title, wall, parsed in sections:
+        print(f"{title}: wall {wall * 1e3:.1f} ms/iter, device "
+              f"{'n/a' if parsed is None else f'{parsed[2]:.1f} ms'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,40 @@ def test_host_targets_match_device(tiny_config, tiny_batch, tiny_state):
                                rtol=2e-5)
     np.testing.assert_allclose(float(m_dev["grad_norm"]),
                                float(m_host["grad_norm"]), rtol=2e-4)
+
+
+def test_host_voxelize_matches_device(tiny_config, tiny_batch, tiny_state):
+    """Train step fed host-voxelized buffers (train.host_voxelize — the
+    pipeline mode that drops the in-graph voxelizer) must match the
+    points-in path step-for-step: voxelize_np and the XLA voxelizer are
+    semantically identical on unshuffled input."""
+    import optax
+
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_np
+
+    cfg = tiny_config
+    tx = optax.sgd(1e-3)
+    state_a, _ = tiny_state
+    state_b = state_a
+    step = make_train_step(cfg, tx, donate=False)
+
+    spec = VoxelGridSpec.from_object_config(cfg.object)
+    feats, crds, cnts = [], [], []
+    for b in range(tiny_batch["points"].shape[0]):
+        n = int(tiny_batch["num_points"][b])
+        vox = voxelize_np(tiny_batch["points"][b, :n], spec,
+                          max_voxels=cfg.data.max_voxels)
+        feats.append(vox.features)
+        crds.append(vox.coords)
+        cnts.append(vox.counts)
+    batch_host = dict(tiny_batch)
+    batch_host.update(
+        voxel_features=np.stack(feats), voxel_coords=np.stack(crds),
+        voxel_counts=np.stack(cnts).astype(np.int32))
+
+    state_a, m_dev = step(state_a, dict(tiny_batch))
+    state_b, m_host = step(state_b, batch_host)
+    np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_dev["grad_norm"]),
+                               float(m_host["grad_norm"]), rtol=2e-3)

@@ -105,6 +105,12 @@ class TrainConfig:
     # device compute) instead of inside the jitted step — the targets
     # depend only on (gt_boxes, anchors), not params
     host_targets: bool = True
+    # voxelize on the input-pipeline threads and feed voxel buffers to
+    # the train step (the in-graph XLA voxelizer — ~29.5 ms/batch8 of
+    # table scatter — drops out: 28.9 -> 32.8 f/s device-side on v5e).
+    # Opt-in: host voxelization costs ~100 ms/frame of CPU per worker
+    # thread, so it needs enough host cores to stay ahead of the device.
+    host_voxelize: bool = False
 
 
 @dataclass(frozen=True)

@@ -111,8 +111,10 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
 
         self.train_ds = KITTIDataset(
-            train_dir, config, augment=config.train.augment)
-        self.val_ds = KITTIDataset(val_dir, config, augment=False)
+            train_dir, config, augment=config.train.augment,
+            host_voxelize=config.train.host_voxelize)
+        self.val_ds = KITTIDataset(val_dir, config, augment=False,
+                                   host_voxelize=config.train.host_voxelize)
 
         steps_per_epoch = max(
             1, len(self.train_ds) // config.train.batch_size)
