@@ -150,6 +150,8 @@ def main():
     p.add_argument("--epochs", type=int, default=None,
                    help="override config num_epochs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--class-name", default="Car",
+                   choices=("Car", "Pedestrian", "Cyclist"))
     p.add_argument("--init-from", type=str, default=None,
                    help="state_dict .pt to continue from")
     p.add_argument("--start-epoch", type=int, default=0,
@@ -157,7 +159,7 @@ def main():
     args = p.parse_args()
 
     torch.manual_seed(args.seed)
-    config = get_config("Car").merge_from_file(args.cfg)
+    config = get_config(args.class_name).merge_from_file(args.cfg)
     epochs = args.epochs or config.train.num_epochs
 
     train_store = FrameStore(

@@ -113,6 +113,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True, help="torch state_dict .pt")
     p.add_argument("--cfg", required=True)
+    p.add_argument("--class-name", default="Car",
+                   choices=("Car", "Pedestrian", "Cyclist"))
     p.add_argument("--data-dir", required=True,
                    help="split dir with velodyne/ calib/")
     p.add_argument("--out-dir", required=True)
@@ -122,7 +124,7 @@ def main():
 
     from dataclasses import replace
 
-    config = get_config("Car").merge_from_file(args.cfg)
+    config = get_config(args.class_name).merge_from_file(args.cfg)
     config = replace(
         config,
         rpn=replace(config.rpn, nms_mode=args.nms_mode),
