@@ -256,9 +256,10 @@ def main(argv=None):
                     choices=("vfe", "dense", "middle", "infer", "train",
                              "targets"))
     ap.add_argument("--middle-backend", default=None,
-                    choices=("auto", "conv3d", "folded2d"),
+                    choices=("auto", "conv3d", "folded2d", "tap2d"),
                     help="override data.middle_backend (conv3d = plain "
-                         "Conv3D, folded2d = depth-folded Conv2D lowering)")
+                         "Conv3D; folded2d = depth-folded Conv2D; tap2d "
+                         "= per-depth-tap batched Conv2D)")
     ap.add_argument("--class-name", default="Car",
                     choices=("Car", "Pedestrian", "Cyclist"))
     ap.add_argument("--host-targets", action="store_true",

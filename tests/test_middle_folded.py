@@ -40,11 +40,13 @@ def test_param_trees_identical(x5d, variables):
 
 def test_eval_equivalence(x5d, variables):
     y3 = MiddleLayers(dtype=jnp.float32).apply(variables, x5d, False)
-    yf = MiddleLayers(dtype=jnp.float32, backend="folded2d").apply(
-        variables, x5d, False)
-    assert y3.shape == yf.shape == (2, H, W, 128)
-    np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
-                               rtol=1e-4, atol=1e-4)
+    for backend in ("folded2d", "tap2d"):
+        yf = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
+            variables, x5d, False)
+        assert y3.shape == yf.shape == (2, H, W, 128)
+        np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=backend)
 
 
 def test_eval_equivalence_4d_input(x5d, variables):
@@ -62,17 +64,19 @@ def test_eval_equivalence_4d_input(x5d, variables):
 def test_train_equivalence_including_batch_stats(x5d, variables):
     y3, m3 = MiddleLayers(dtype=jnp.float32).apply(
         variables, x5d, True, mutable=["batch_stats"])
-    yf, mf = MiddleLayers(dtype=jnp.float32, backend="folded2d").apply(
-        variables, x5d, True, mutable=["batch_stats"])
-    np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
-                               rtol=1e-4, atol=1e-4)
     flat3 = jax.tree_util.tree_leaves_with_path(m3["batch_stats"])
-    flatf = dict(jax.tree_util.tree_leaves_with_path(mf["batch_stats"]))
-    assert len(flat3) == 6 * 1  # 3 blocks x (mean, var)... structure check
-    for path, leaf in flat3:
-        np.testing.assert_allclose(
-            np.asarray(leaf), np.asarray(flatf[path]),
-            rtol=1e-4, atol=1e-5, err_msg=str(path))
+    assert len(flat3) == 6  # 3 blocks x (mean, var)
+    for backend in ("folded2d", "tap2d"):
+        yf, mf = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
+            variables, x5d, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
+                                   rtol=1e-4, atol=1e-4, err_msg=backend)
+        flatf = dict(jax.tree_util.tree_leaves_with_path(
+            mf["batch_stats"]))
+        for path, leaf in flat3:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flatf[path]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{backend} {path}")
 
 
 def test_scatter_folded_matches_fold_of_dense():

@@ -74,11 +74,13 @@ class DataConfig:
     # single Pallas voxelize+VFE kernel (kernels/vfe_fused.py, 2.5x the
     # XLA stage on v5e); 'auto' selects it on TPU for unsharded graphs
     vfe_backend: str = "auto"
-    # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d'. 'folded2d'
-    # computes each Conv3D as ONE block-banded Conv2D with depth folded
-    # into channels (models/middle.py — same parameters, same math,
-    # MXU-shaped contractions); 'auto' picks the measured winner per
-    # backend (BASELINE.md MFU ladder).
+    # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d' | 'tap2d'.
+    # All are mathematically identical with one shared parameter tree
+    # (models/middle.py): 'folded2d' = ONE block-banded Conv2D with depth
+    # folded into channels (Din/3 x FLOPs, biggest contractions);
+    # 'tap2d' = 3 depth-tap Conv2Ds over the merged (B, D') batch
+    # (FLOP-neutral). 'auto' picks the measured winner per backend
+    # (BASELINE.md MFU ladder).
     middle_backend: str = "auto"
 
 

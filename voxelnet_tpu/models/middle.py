@@ -6,7 +6,7 @@ Same topology as the reference middle stack (voxelnet/model.py:206-210,
 channel axis. TPU-native: NDHWC layout, bfloat16 compute, lowered straight
 to XLA convolutions.
 
-Two mathematically identical lowerings, selected by `backend`:
+Three mathematically identical lowerings, selected by `backend`:
 
   * 'conv3d'   — plain XLA Conv3D over the (B, D, H, W, C) grid.
   * 'folded2d' — the depth axis lives in the channel axis: each Conv3D
@@ -16,8 +16,17 @@ Two mathematically identical lowerings, selected by `backend`:
     reach). Exact same math, same parameters — checkpoints interchange —
     but the MXU sees contraction dims of 1280/320/192 instead of 128/64,
     and the 5D tensor never materializes. Costs Din/3 x the FLOPs per
-    layer; wins when the utilization gain beats that (measured on
-    hardware, BASELINE.md MFU ladder).
+    layer; wins only if the utilization gain beats that.
+  * 'tap2d'    — Conv3D decomposed into its 3 depth taps:
+    Y[:, d'] = sum_kd Conv2D(X[:, s*d' + kd - pad], W[kd]) with (B, D')
+    merged into the Conv2D batch. FLOP-neutral (same MAC count as
+    conv3d) and every conv is the 3x3 NHWC 128->64 shape XLA already
+    tiles well for the RPN — targets the measured Conv3D MFU sink
+    without the folded2d multiplier.
+
+All three share one parameter tree; the winner per stage is measured on
+hardware (BASELINE.md MFU ladder) and picked by
+models/voxelnet.resolve_middle_backend('auto').
 """
 
 from __future__ import annotations
@@ -74,6 +83,42 @@ class _FoldConv(nn.Module):
         return y + jnp.tile(bias, dout).astype(y.dtype)
 
 
+class _TapConv(nn.Module):
+    """Param-compatible stand-in for the block's nn.Conv (same 'kernel' /
+    'bias') computing Conv3D as 3 depth-tap Conv2Ds over the merged
+    (B, Dout) batch. Input/output stay (B, D, H, W, C)."""
+
+    cout: int
+    cin: int
+    stride_d: int
+    pad_d: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.cin * 27),
+                          (self.cout,), jnp.float32)
+        b, din, h, w, c = x.shape
+        dout = (din + 2 * self.pad_d - 3) // self.stride_d + 1
+        xp = jnp.pad(x, ((0, 0), (self.pad_d, self.pad_d), (0, 0),
+                         (0, 0), (0, 0))).astype(self.dtype)
+        y = None
+        for kd in range(3):
+            lo = kd
+            hi = kd + self.stride_d * (dout - 1) + 1
+            sl = xp[:, lo:hi:self.stride_d]          # (B, Dout, H, W, C)
+            z = jax.lax.conv_general_dilated(
+                sl.reshape(b * dout, h, w, c),
+                kernel[kd].astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = z if y is None else y + z
+        y = y + bias.astype(y.dtype)
+        return y.reshape(b, dout, h, w, self.cout)
+
+
 class _FoldBatchNorm(nn.Module):
     """Param-compatible stand-in for the block's nn.BatchNorm: per-C
     statistics shared across the depth slices folded into the channel
@@ -114,29 +159,34 @@ class ConvBlock3D(nn.Module):
     stride_d: int
     pad_d: int
     dtype: jnp.dtype = jnp.bfloat16
-    # folded lowering: din/cin are static (channel axis carries Din*Cin)
-    folded: bool = False
+    backend: str = "conv3d"
+    # folded2d lowering: din is static (channel axis carries Din*Cin)
     din: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.folded:
+        if self.backend == "folded2d":
             cin = x.shape[-1] // self.din
             x = _FoldConv(self.cout, cin, self.din, self.stride_d,
                           self.pad_d, dtype=self.dtype, name="Conv_0")(x)
             x = _FoldBatchNorm(self.cout, name="BatchNorm_0")(
                 x, use_running_average=not train)
             return nn.relu(x).astype(self.dtype)
-        x = nn.Conv(
-            self.cout, kernel_size=(3, 3, 3),
-            strides=(self.stride_d, 1, 1),
-            padding=((self.pad_d, self.pad_d), (1, 1), (1, 1)),
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(x.shape[-1] * 27),
-        )(x)
+        if self.backend == "tap2d":
+            x = _TapConv(self.cout, x.shape[-1], self.stride_d,
+                         self.pad_d, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.cout, kernel_size=(3, 3, 3),
+                strides=(self.stride_d, 1, 1),
+                padding=((self.pad_d, self.pad_d), (1, 1), (1, 1)),
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(x.shape[-1] * 27),
+            )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="BatchNorm_0")(x)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -174,7 +224,7 @@ class MiddleLayers(nn.Module):
             b, h, w, _ = x.shape
             for cout, stride_d, pad_d in _BLOCKS:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                                folded=True, din=din)(x, train)
+                                backend="folded2d", din=din)(x, train)
                 din = _depth_out(din, stride_d, pad_d)
             # reorder the (d, c) channel fold to the reference's c-major
             # BEV layout (voxelnet/model.py:262): bev_channel = c*D' + d
@@ -183,8 +233,8 @@ class MiddleLayers(nn.Module):
 
         b, _, h, w, _ = x.shape
         for cout, stride_d, pad_d in _BLOCKS:
-            x = ConvBlock3D(cout, stride_d, pad_d,
-                            dtype=self.dtype)(x, train)
+            x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
+                            backend=self.backend)(x, train)
         # fold remaining depth into channels: (B, D', H, W, C) ->
         # (B, H, W, C*D') with the CHANNEL axis major, matching the
         # reference's view of its NCDHW tensor (voxelnet/model.py:262
