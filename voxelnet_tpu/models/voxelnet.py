@@ -104,15 +104,16 @@ class Detections(NamedTuple):
 
 
 def resolve_middle_backend(config: VoxelNetConfig) -> str:
-    """Resolve data.middle_backend. 'auto' picks the measured winner:
-    'folded2d' on TPU (BASELINE.md MFU ladder — the block-banded Conv2D
-    lowering fills the MXU where thin-channel Conv3D cannot), 'conv3d'
-    elsewhere (CPU/GPU XLA handles Conv3D fine and skips the Din/3 FLOP
-    multiplier)."""
+    """Resolve data.middle_backend. 'auto' picks the measured winner
+    (BASELINE.md MFU ladder): 'conv3d' — on v5e the alternate exact
+    lowerings lose (folded2d pays its Din/3 FLOP multiplier: train 23.5
+    vs 28.9 f/s @B8, and its (B,H,W,D*C) activations OOM at the B24
+    inference sweet spot; tap2d rows recorded in the ladder). The
+    explicit knobs stay for other grids/hardware."""
     configured = config.data.middle_backend
     if configured != "auto":
         return configured
-    return "folded2d" if jax.default_backend() == "tpu" else "conv3d"
+    return "conv3d"
 
 
 def build_model(config: VoxelNetConfig) -> VoxelNet:
