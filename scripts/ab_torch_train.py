@@ -156,11 +156,33 @@ def main():
                    help="state_dict .pt to continue from")
     p.add_argument("--start-epoch", type=int, default=0,
                    help="epoch offset for logging/dump dirs when resuming")
+    p.add_argument("--score-thres", type=float, default=None,
+                   help="override rpn.score_thres for the dumps")
+    p.add_argument("--dump-only", action="store_true",
+                   help="skip training: load --init-from and dump val "
+                        "predictions once into preds/<start-epoch>/data "
+                        "(re-dump undertrained ckpts at a lower "
+                        "--score-thres)")
     args = p.parse_args()
 
     torch.manual_seed(args.seed)
     config = get_config(args.class_name).merge_from_file(args.cfg)
+    if args.score_thres is not None:
+        from dataclasses import replace
+        config = replace(
+            config, rpn=replace(config.rpn, score_thres=args.score_thres))
     epochs = args.epochs or config.train.num_epochs
+
+    if args.dump_only:
+        val_store = FrameStore(
+            os.path.join(args.data_dir, "validation"), config,
+            with_targets=False)
+        model = TorchModel(config.object.grid_size)
+        model.load_state_dict(torch.load(args.init_from))
+        decode_and_dump(model, val_store, config,
+                        os.path.join(args.out_dir, "preds",
+                                     str(args.start_epoch), "data"))
+        return
 
     train_store = FrameStore(
         os.path.join(args.data_dir, "training"), config)

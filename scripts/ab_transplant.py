@@ -120,14 +120,20 @@ def main():
     p.add_argument("--out-dir", required=True)
     p.add_argument("--nms-mode", default="standup",
                    choices=("standup", "rotated"))
+    p.add_argument("--score-thres", type=float, default=None,
+                   help="override rpn.score_thres (undertrained ckpts "
+                        "may emit nothing at the operating 0.25)")
     args = p.parse_args()
 
     from dataclasses import replace
 
     config = get_config(args.class_name).merge_from_file(args.cfg)
+    rpn_over = {"nms_mode": args.nms_mode}
+    if args.score_thres is not None:
+        rpn_over["score_thres"] = args.score_thres
     config = replace(
         config,
-        rpn=replace(config.rpn, nms_mode=args.nms_mode),
+        rpn=replace(config.rpn, **rpn_over),
         # inference-only path: f32 compute for a bit-close comparison
         # against torch f32 (bf16 is the production default)
         train=replace(config.train, compute_dtype="float32"),
@@ -157,7 +163,7 @@ def main():
         P, Tr, R = kitti.load_calib(
             os.path.join(args.data_dir, "calib", tag + ".txt"))
         lines = kitti.boxes_to_label_lines(
-            boxes, ["Car"] * len(boxes), scores=scores,
+            boxes, [args.class_name] * len(boxes), scores=scores,
             coordinate="lidar", P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
         with open(os.path.join(args.out_dir, tag + ".txt"), "w") as f:
             f.writelines(lines)

@@ -18,6 +18,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 import time
 from collections import defaultdict
@@ -49,6 +50,13 @@ def _trace_one(tag, fn, args, logdir, iters=3):
     return wall
 
 
+def _is_module_event(name):
+    """XLA module-level events (whole-graph spans) that overlap — and
+    would double-count — their child op events: 'jit_fn(…)' aggregates
+    plus per-run spans named by bare run id."""
+    return name.startswith("jit_") or name.isdigit()
+
+
 def _parse_trace(trace_dir, iters):
     """Aggregate device-op durations from the chrome-format trace."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
@@ -68,16 +76,56 @@ def _parse_trace(trace_dir, iters):
     agg = defaultdict(float)
     count = defaultdict(int)
     total = 0.0
+    module_ms = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         name = e.get("name", "?")
         dur = float(e.get("dur", 0.0)) / 1e3 / iters  # us -> ms, per iter
+        if _is_module_event(name):
+            # `dur` is already raw/iters. A digit-named span covers ONE
+            # run (raw == per-iter time, so per-iter = dur * iters); a
+            # 'jit_*' row aggregates all runs (per-iter = dur as-is).
+            module_ms = max(module_ms,
+                            dur * iters if name.isdigit() else dur)
+            continue
         agg[name] += dur
         count[name] += 1
         total += dur
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
-    return rows, count, total
+    return rows, count, total, module_ms
+
+
+def _hlo_fusion_roots(text):
+    """Map fusion/op names -> the HLO root instruction of their fused
+    computation, from the optimized-HLO text
+    (`jit(fn).lower(...).compile().as_text()` — the remote-compile axon
+    backend never writes --xla_dump_to files on this host), so the
+    trace's opaque 'fusion.N' rows become attributable (conv / dot /
+    scatter / …)."""
+    roots = {}
+    if not text:
+        return roots
+    # computation body name per fusion instruction
+    calls = dict(re.findall(
+        r"%?([\w.-]+) = [^\n]*? fusion\([^\n]*?calls=%?([\w.-]+)",
+        text))
+    # ROOT line of every computation
+    comp_root = {}
+    cur = None
+    for line in text.splitlines():
+        m = re.match(r"%?([\w.-]+) \((?:[^)]*)\) -> ", line)
+        if m:
+            cur = m.group(1)
+        elif cur and line.lstrip().startswith("ROOT "):
+            body = line.split("=", 1)[-1].strip()
+            op = body.split("(")[0].strip()
+            comp_root[cur] = op
+    for fus, comp in calls.items():
+        if comp in comp_root:
+            roots[fus] = comp_root[comp]
+    # non-fused named ops attribute to themselves (strip the id suffix)
+    return roots
 
 
 def main():
@@ -116,7 +164,9 @@ def main():
         wall = _trace_one("infer", infer, (variables, pts, nums),
                           logdir, args.iters)
         parsed = _parse_trace(os.path.join(logdir, "infer"), args.iters)
-        sections.append(("inference (full graph)", wall, parsed))
+        roots = _hlo_fusion_roots(
+            infer.lower(variables, pts, nums).compile().as_text())
+        sections.append(("inference (full graph)", wall, parsed, roots))
 
     if args.stage in ("train", "both"):
         from voxelnet_tpu.training import create_train_state, make_train_step
@@ -142,7 +192,12 @@ def main():
         wall = _trace_one("train", train_fn, (state, batch),
                           logdir, args.iters)
         parsed = _parse_trace(os.path.join(logdir, "train"), args.iters)
-        sections.append(("train step (fwd+bwd+SGD)", wall, parsed))
+        try:
+            hlo = jax.jit(step).lower(state, batch).compile().as_text()
+        except Exception:
+            hlo = ""
+        sections.append(("train step (fwd+bwd+SGD)", wall, parsed,
+                         _hlo_fusion_roots(hlo)))
 
     out_md = os.path.join(args.out, "trace_summary.md")
     with open(out_md, "w") as f:
@@ -151,24 +206,27 @@ def main():
                 f"middle_backend="
                 f"{args.middle_backend or config.data.middle_backend}; "
                 f"traces under {logdir}/ (not committed).\n")
-        for title, wall, parsed in sections:
+        for title, wall, parsed, roots in sections:
             f.write(f"\n## {title} — wall {wall * 1e3:.1f} ms/iter "
                     f"(batch {args.batch})\n\n")
             if parsed is None:
                 f.write("(no device trace events captured — tunnel "
                         "backend may not export device tracks)\n")
                 continue
-            rows, count, total = parsed
-            f.write(f"device ops total: {total:.1f} ms/iter\n\n")
-            f.write("| op | ms/iter | % | calls |\n|---|---|---|---|\n")
+            rows, count, total, module_ms = parsed
+            f.write(f"device: module span {module_ms:.1f} ms/iter, "
+                    f"op events total {total:.1f} ms/iter\n\n")
+            f.write("| op | HLO root | ms/iter | % | calls |\n"
+                    "|---|---|---|---|---|\n")
             for name, ms in rows[: args.top]:
-                f.write(f"| `{name[:70]}` | {ms:.2f} | "
+                f.write(f"| `{name[:70]}` | "
+                        f"{roots.get(name, '')} | {ms:.2f} | "
                         f"{100 * ms / max(total, 1e-9):.1f}% | "
                         f"{count[name]} |\n")
     print(f"wrote {out_md}")
-    for title, wall, parsed in sections:
+    for title, wall, parsed, _ in sections:
         print(f"{title}: wall {wall * 1e3:.1f} ms/iter, device "
-              f"{'n/a' if parsed is None else f'{parsed[2]:.1f} ms'}")
+              f"{'n/a' if parsed is None else f'{parsed[3]:.1f} ms module'}")
 
 
 if __name__ == "__main__":
