@@ -159,11 +159,12 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
                 return tail(vw, vox.coords, vox.counts)
 
         tag = " [fused pallas]" if vfe_backend == "fused" else ""
+        cls = config.object.name
         label = {
-            "vfe": f"KITTI frames/sec/chip (Car, voxelize+VFE{tag})",
-            "dense": (f"KITTI frames/sec/chip (Car, voxelize+VFE+dense "
+            "vfe": f"KITTI frames/sec/chip ({cls}, voxelize+VFE{tag})",
+            "dense": (f"KITTI frames/sec/chip ({cls}, voxelize+VFE+dense "
                       f"grid{tag})"),
-            "middle": (f"KITTI frames/sec/chip (Car, voxelize+VFE+dense+"
+            "middle": (f"KITTI frames/sec/chip ({cls}, voxelize+VFE+dense+"
                        f"middle[{middle_backend}]{tag})"),
         }[stage]
         return chained, label
@@ -289,10 +290,9 @@ def main(argv=None):
 
     from voxelnet_tpu.config import get_config
 
-    config = get_config(args.class_name)
-    if args.middle_backend is not None:
-        config = get_config(args.class_name,
-                            data={"middle_backend": args.middle_backend})
+    overrides = ({"data": {"middle_backend": args.middle_backend}}
+                 if args.middle_backend is not None else {})
+    config = get_config(args.class_name, **overrides)
     made = _make_stage_fn(args.stage, config, args.host_targets,
                           args.vfe_backend, args.host_voxelize)
     chained, label = made[0], made[1]

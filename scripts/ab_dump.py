@@ -34,6 +34,37 @@ from voxelnet_tpu.training import checkpoint as ckpt_lib
 from voxelnet_tpu.utils import kitti
 
 
+def dump_predictions(infer, variables, config, data_dir, out_dir,
+                     class_name, verbose=False):
+    """Run the jitted inference graph over a split's velodyne/ frames and
+    write KITTI-format label dumps (the shared A/B dump loop — also used
+    by ab_transplant.py)."""
+    velo = os.path.join(data_dir, "velodyne")
+    os.makedirs(out_dir, exist_ok=True)
+    tags = sorted(f[:-4] for f in os.listdir(velo) if f.endswith(".bin"))
+    total = 0
+    for tag in tags:
+        pts = kitti.read_point_cloud(os.path.join(velo, tag + ".bin"))
+        buf = np.zeros((1, config.data.max_points, 4), np.float32)
+        n = min(len(pts), config.data.max_points)
+        buf[0, :n] = pts[:n]
+        det = infer(variables, jnp.asarray(buf), jnp.asarray([n], np.int32))
+        keep = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes[0])[keep]
+        scores = np.asarray(det.scores[0])[keep]
+        P, Tr, R = kitti.load_calib(
+            os.path.join(data_dir, "calib", tag + ".txt"))
+        lines = kitti.boxes_to_label_lines(
+            boxes, [class_name] * len(boxes), scores=scores,
+            coordinate="lidar", P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
+        with open(os.path.join(out_dir, tag + ".txt"), "w") as f:
+            f.writelines(lines)
+        total += len(boxes)
+        if verbose:
+            print(tag, len(boxes), flush=True)
+    return len(tags), total
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True,
@@ -67,28 +98,10 @@ def main():
     variables = ckpt_lib.load_variables(path)
 
     infer = jax.jit(make_inference_fn(config))
-    velo = os.path.join(args.data_dir, "velodyne")
-    os.makedirs(args.out_dir, exist_ok=True)
-    tags = sorted(f[:-4] for f in os.listdir(velo) if f.endswith(".bin"))
-    total = 0
-    for tag in tags:
-        pts = kitti.read_point_cloud(os.path.join(velo, tag + ".bin"))
-        buf = np.zeros((1, config.data.max_points, 4), np.float32)
-        n = min(len(pts), config.data.max_points)
-        buf[0, :n] = pts[:n]
-        det = infer(variables, jnp.asarray(buf), jnp.asarray([n], np.int32))
-        keep = np.asarray(det.valid[0])
-        boxes = np.asarray(det.boxes[0])[keep]
-        scores = np.asarray(det.scores[0])[keep]
-        P, Tr, R = kitti.load_calib(
-            os.path.join(args.data_dir, "calib", tag + ".txt"))
-        lines = kitti.boxes_to_label_lines(
-            boxes, [args.class_name] * len(boxes), scores=scores,
-            coordinate="lidar", P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
-        with open(os.path.join(args.out_dir, tag + ".txt"), "w") as f:
-            f.writelines(lines)
-        total += len(boxes)
-    print(f"{len(tags)} frames, {total} boxes >= thres "
+    nframes, total = dump_predictions(
+        infer, variables, config, args.data_dir, args.out_dir,
+        args.class_name)
+    print(f"{nframes} frames, {total} boxes >= thres "
           f"{config.rpn.score_thres}", flush=True)
 
 

@@ -174,6 +174,9 @@ def main():
     epochs = args.epochs or config.train.num_epochs
 
     if args.dump_only:
+        if not args.init_from:
+            p.error("--dump-only requires --init-from (a trained "
+                    "state_dict .pt to dump predictions from)")
         val_store = FrameStore(
             os.path.join(args.data_dir, "validation"), config,
             with_targets=False)

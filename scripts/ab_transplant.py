@@ -29,13 +29,11 @@ _apply_platform_override()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import torch
 
 from scripts.bench_baseline_torch import TorchModel
 from voxelnet_tpu.config import get_config
 from voxelnet_tpu.models.voxelnet import init_params, make_inference_fn
-from voxelnet_tpu.utils import kitti
 
 
 def _j(t):
@@ -147,27 +145,11 @@ def main():
     tm.eval()
     variables = transplant(init_params(config, jax.random.key(0)), tm)
 
+    from scripts.ab_dump import dump_predictions
+
     infer = jax.jit(make_inference_fn(config))
-    velo = os.path.join(args.data_dir, "velodyne")
-    os.makedirs(args.out_dir, exist_ok=True)
-    tags = sorted(f[:-4] for f in os.listdir(velo) if f.endswith(".bin"))
-    for tag in tags:
-        pts = kitti.read_point_cloud(os.path.join(velo, tag + ".bin"))
-        buf = np.zeros((1, config.data.max_points, 4), np.float32)
-        n = min(len(pts), config.data.max_points)
-        buf[0, :n] = pts[:n]
-        det = infer(variables, jnp.asarray(buf), jnp.asarray([n], np.int32))
-        keep = np.asarray(det.valid[0])
-        boxes = np.asarray(det.boxes[0])[keep]
-        scores = np.asarray(det.scores[0])[keep]
-        P, Tr, R = kitti.load_calib(
-            os.path.join(args.data_dir, "calib", tag + ".txt"))
-        lines = kitti.boxes_to_label_lines(
-            boxes, [args.class_name] * len(boxes), scores=scores,
-            coordinate="lidar", P2=P, T_VELO_2_CAM=Tr, R_RECT_0=R)
-        with open(os.path.join(args.out_dir, tag + ".txt"), "w") as f:
-            f.writelines(lines)
-        print(tag, len(boxes), flush=True)
+    dump_predictions(infer, variables, config, args.data_dir,
+                     args.out_dir, args.class_name, verbose=True)
 
 
 if __name__ == "__main__":

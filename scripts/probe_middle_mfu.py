@@ -58,7 +58,7 @@ def time_stack(cout, batch, d, h, w, cin, iters=20, repeats=3):
         y = model.apply(params, x + salt)
         return y.astype(jnp.float32).mean()
 
-    salt = run(x, 0.0)
+    salt = run(x, jnp.float32(0))  # strong f32: same aval as timed calls
     float(salt)  # sync
     walls = []
     for _ in range(repeats):

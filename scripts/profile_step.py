@@ -34,18 +34,30 @@ def _load_batch(config, batch):
     return load_frames(config.data.max_points, batch)[0]
 
 
+def _sync(out):
+    """Force execution with a value fetch: the axon plugin resolves
+    futures lazily, so block_until_ready returns before device work is
+    done (CLAUDE.md) — only fetching a scalar is a real sync."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf).ravel()[0])
+
+
 def _trace_one(tag, fn, args, logdir, iters=3):
     import jax
 
     # warmup/compile outside the trace
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     with jax.profiler.trace(os.path.join(logdir, tag),
                             create_perfetto_trace=True):
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        # device execution is serial per stream, so fetching the last
+        # output's value forces all queued iterations to completion
+        _sync(out)
     wall = (time.perf_counter() - t0) / iters
     return wall
 

@@ -111,6 +111,11 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     inference sweet spot; tap2d rows recorded in the ladder). The
     explicit knobs stay for other grids/hardware."""
     configured = config.data.middle_backend
+    if configured not in ("auto", "conv3d", "folded2d", "tap2d"):
+        raise ValueError(
+            f"data.middle_backend={configured!r} — expected one of "
+            "'auto', 'conv3d', 'folded2d', 'tap2d' (a typo would "
+            "silently run the conv3d path)")
     if configured != "auto":
         return configured
     return "conv3d"
@@ -214,9 +219,16 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
     num_dcn = getattr(sys_cfg, "num_dcn_shards", 1)
     batch_sharded = sys_cfg.num_data_shards * num_dcn > 1
     if vfe_backend == "fused" and batch_sharded and mesh is None:
-        raise ValueError(
-            "make_inference_fn: batch-sharded config with the fused VFE "
-            "backend needs the mesh argument (shard_map)")
+        if config.data.vfe_backend == "auto":
+            # single-device callers (cli.predict, bench, A/B dumps) may
+            # load a sharded training config without building a mesh —
+            # auto must degrade to XLA, not fail the build
+            vfe_backend = "xla"
+        else:
+            raise ValueError(
+                "make_inference_fn: batch-sharded config with the "
+                "explicit fused VFE backend needs the mesh argument "
+                "(shard_map)")
     fused_batch_axes = (("dcn", "data") if num_dcn > 1 else ("data",))
 
     def forward_fused(variables, points, num_points):

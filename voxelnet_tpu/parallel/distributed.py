@@ -132,11 +132,20 @@ def local_rows(x) -> np.ndarray:
     out = []
     for a, b in blocks:
         buf = np.zeros((b - a, *x.shape[1:]), x.dtype)
+        covered = np.zeros(x.shape[1:], bool)
         for s in x.addressable_shards:
             if (s.index[0].start or 0) != a:
                 continue
             trail = tuple(slice(i.start, i.stop) for i in s.index[1:])
             buf[(slice(None), *trail)] = np.asarray(s.data)
+            covered[trail] = True
+        if not covered.all():
+            # a mesh whose trailing-axis shards span processes would
+            # leave silent zero-filled columns here — fail instead
+            raise ValueError(
+                "local_rows: this process's shards do not cover the "
+                f"trailing axes of batch rows [{a}:{b}) (non-addressable "
+                "trailing shards); gather globally instead")
         out.append(buf)
     return np.concatenate(out, axis=0)
 
