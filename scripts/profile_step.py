@@ -219,15 +219,19 @@ def main():
                 f"{args.middle_backend or config.data.middle_backend}; "
                 f"traces under {logdir}/ (not committed).\n")
         for title, wall, parsed, roots in sections:
-            f.write(f"\n## {title} — wall {wall * 1e3:.1f} ms/iter "
-                    f"(batch {args.batch})\n\n")
+            f.write(f"\n## {title} (batch {args.batch})\n\n")
             if parsed is None:
                 f.write("(no device trace events captured — tunnel "
                         "backend may not export device tracks)\n")
                 continue
             rows, count, total, module_ms = parsed
-            f.write(f"device: module span {module_ms:.1f} ms/iter, "
-                    f"op events total {total:.1f} ms/iter\n\n")
+            f.write(f"**device op total {total:.1f} ms/iter** (the "
+                    f"authoritative number; matches bench.py's "
+                    f"chained-salt timing). Host wall "
+                    f"{wall * 1e3:.1f} ms/iter includes ~30-60 ms of "
+                    f"tunnel round-trip per value fetch (CLAUDE.md) and "
+                    f"is NOT device time. Module span where exported: "
+                    f"{module_ms:.1f} ms/iter.\n\n")
             f.write("| op | HLO root | ms/iter | % | calls |\n"
                     "|---|---|---|---|---|\n")
             for name, ms in rows[: args.top]:

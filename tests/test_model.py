@@ -126,3 +126,38 @@ def test_param_count_plausible(tiny_config):
     n = param_count(variables)
     # VFE (7->32->128) + 3x Conv3D + 17 Conv2D + 3 deconv + heads
     assert 5_000_000 < n < 15_000_000
+
+
+def test_middle_backend_typo_rejected(tiny_config):
+    """An unknown data.middle_backend must fail loudly, not silently run
+    the conv3d path (it would invalidate lowering A/B measurements)."""
+    from dataclasses import replace
+
+    from voxelnet_tpu.models.voxelnet import resolve_middle_backend
+
+    bad = replace(tiny_config,
+                  data=replace(tiny_config.data, middle_backend="fold2d"))
+    with pytest.raises(ValueError, match="middle_backend"):
+        resolve_middle_backend(bad)
+
+
+def test_auto_vfe_backend_degrades_without_mesh(tiny_config, monkeypatch):
+    """A batch-sharded config built by a single-device caller (predict
+    CLI, bench, A/B dumps) with vfe_backend='auto' must degrade to the
+    XLA path, not raise; the explicit 'fused' request must still raise
+    (silent semantic change vs a hard error)."""
+    from dataclasses import replace
+
+    from voxelnet_tpu.models import voxelnet as vx
+
+    # make resolve_vfe_backend('auto') pick 'fused' as it would on TPU
+    monkeypatch.setattr(vx.jax, "default_backend", lambda: "tpu")
+    sharded = replace(tiny_config,
+                      system=replace(tiny_config.system, num_data_shards=2))
+    assert vx.resolve_vfe_backend(sharded) == "fused"
+    vx.make_inference_fn(sharded, mesh=None)  # must not raise
+
+    explicit = replace(
+        sharded, data=replace(sharded.data, vfe_backend="fused"))
+    with pytest.raises(ValueError, match="mesh"):
+        vx.make_inference_fn(explicit, mesh=None)
