@@ -27,12 +27,17 @@ def test_forward_shapes_and_dtype(tiny_config):
     B, K, T = 2, cfg.data.max_voxels, cfg.object.points_per_voxel
     rng = np.random.default_rng(0)
     feats = rng.normal(0, 1, (B, K, T, 7)).astype(np.float32)
-    coords = np.stack([
-        rng.integers(0, cfg.object.depth, (B, K)),
-        rng.integers(0, cfg.object.height, (B, K)),
-        rng.integers(0, cfg.object.width, (B, K)),
-    ], axis=-1).astype(np.int32)
-    counts = rng.integers(0, T, (B, K)).astype(np.int32)
+    # voxelizer contract (models/scatter.py): unique coords in ascending
+    # (z*H + y)*W + x order per frame — scatter_hints relies on it
+    D, Hh, Ww = cfg.object.depth, cfg.object.height, cfg.object.width
+    lin = np.stack([np.sort(rng.choice(D * Hh * Ww, K, replace=False))
+                    for _ in range(B)])
+    coords = np.stack([lin // (Hh * Ww), (lin // Ww) % Hh, lin % Ww],
+                      axis=-1).astype(np.int32)
+    # occupied voxels carry >= 1 point; zero-count rows only trail
+    # (voxelizer contract) — emulate with a trailing padding block
+    counts = rng.integers(1, T, (B, K)).astype(np.int32)
+    counts[:, K - 5:] = 0
 
     cls_logits, reg = jax.jit(
         lambda v, f, c, n: model.apply(v, f, c, n, train=False)
@@ -161,3 +166,22 @@ def test_auto_vfe_backend_degrades_without_mesh(tiny_config, monkeypatch):
         sharded, data=replace(sharded.data, vfe_backend="fused"))
     with pytest.raises(ValueError, match="mesh"):
         vx.make_inference_fn(explicit, mesh=None)
+
+
+def test_scatter_hints_equivalence():
+    """Hinted scatter == plain scatter on voxelizer-ordered buffers
+    (ascending unique linear ids, padding trailing)."""
+    rng = np.random.default_rng(3)
+    D, H, W, K, C = 4, 8, 8, 24, 16
+    lin = np.sort(rng.choice(D * H * W, K, replace=False))
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W],
+                      axis=-1).astype(np.int32)[None]
+    feats = rng.normal(0, 1, (1, K, C)).astype(np.float32)
+    counts = np.concatenate(
+        [rng.integers(1, 5, K - 6), np.zeros(6, int)]).astype(np.int32)[None]
+    a = scatter_to_dense(jnp.asarray(feats), jnp.asarray(coords),
+                         jnp.asarray(counts), (D, H, W))
+    b = scatter_to_dense(jnp.asarray(feats), jnp.asarray(coords),
+                         jnp.asarray(counts), (D, H, W),
+                         indices_sorted=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

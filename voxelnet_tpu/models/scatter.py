@@ -14,15 +14,35 @@ import jax.numpy as jnp
 
 def scatter_to_dense(voxel_features: jnp.ndarray, coords: jnp.ndarray,
                      counts: jnp.ndarray,
-                     grid_dzyx: tuple[int, int, int]) -> jnp.ndarray:
-    """(B, K, C) + (B, K, 3) zyx coords -> (B, D, H, W, C)."""
+                     grid_dzyx: tuple[int, int, int],
+                     indices_sorted: bool = False) -> jnp.ndarray:
+    """(B, K, C) + (B, K, 3) zyx coords -> (B, D, H, W, C).
+
+    `indices_sorted=True` passes the XLA scatter hints
+    (indices_are_sorted + unique_indices) — measured 18.0 -> 12.4
+    ms/batch8 on v5e (scripts/probe_scatter.py). Only valid when each
+    frame's occupied voxels are in ascending (z*H + y)*W + x order with
+    padding rows trailing — the order every framework voxelizer emits
+    (ops/voxelize._sort_stage sorts by exactly this key; voxelize_np
+    uses np.unique). Passing unsorted coords with the flag set silently
+    corrupts the grid, so leave it False for external buffers.
+    """
     D, H, W = grid_dzyx
 
     def one(feat, crd, cnt):
+        K = feat.shape[0]
         linear = (crd[:, 0] * H + crd[:, 1]) * W + crd[:, 2]
-        linear = jnp.where(cnt > 0, linear, D * H * W)  # padding -> dropped
+        if indices_sorted:
+            # distinct ascending out-of-bounds ids keep the trailing
+            # padding rows both sorted and unique (all dropped)
+            pad_ids = D * H * W + jnp.arange(K, dtype=linear.dtype)
+            linear = jnp.where(cnt > 0, linear, pad_ids)
+        else:
+            linear = jnp.where(cnt > 0, linear, D * H * W)
         dense = jnp.zeros((D * H * W, feat.shape[-1]), feat.dtype)
-        dense = dense.at[linear].set(feat, mode="drop")
+        dense = dense.at[linear].set(
+            feat, mode="drop", indices_are_sorted=indices_sorted,
+            unique_indices=indices_sorted)
         return dense.reshape(D, H, W, feat.shape[-1])
 
     return jax.vmap(one)(voxel_features, coords, counts)

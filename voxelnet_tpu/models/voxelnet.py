@@ -61,6 +61,9 @@ class VoxelNet(nn.Module):
     # 'conv3d' | 'folded2d' — mathematically identical middle-conv
     # lowerings sharing one parameter tree (models/middle.py)
     middle_backend: str = "conv3d"
+    # XLA scatter hints for the dense-grid build — valid only for
+    # voxelizer-ordered buffers (models/scatter.py docstring)
+    scatter_hints: bool = False
     spatial_shard: bool = False
     # partition entry for the batch axis in sharding constraints: 'data'
     # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
@@ -78,7 +81,8 @@ class VoxelNet(nn.Module):
                 voxelwise, coords, counts, self.grid_dzyx)
         else:
             dense = scatter_to_dense(
-                voxelwise, coords, counts, self.grid_dzyx)
+                voxelwise, coords, counts, self.grid_dzyx,
+                indices_sorted=self.scatter_hints)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
@@ -129,6 +133,7 @@ def build_model(config: VoxelNetConfig) -> VoxelNet:
         bn_over_padding=config.compat.bn_over_padding,
         rpn_block1_stride=config.rpn.block1_stride,
         middle_backend=resolve_middle_backend(config),
+        scatter_hints=config.data.scatter_hints,
         spatial_shard=config.system.num_model_shards > 1,
         batch_axes=("dcn", "data") if num_dcn > 1 else "data",
     )
@@ -250,8 +255,10 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
             dense = scatter_to_dense_folded(
                 vw, coords, counts, config.object.grid_size)
         else:
+            # fused-kernel coords come from the same sorted run analysis
             dense = scatter_to_dense(
-                vw, coords, counts, config.object.grid_size)
+                vw, coords, counts, config.object.grid_size,
+                indices_sorted=config.data.scatter_hints)
         dtype = jnp.dtype(config.train.compute_dtype)
         bev = MiddleLayers(dtype=dtype, backend=middle_backend,
                            depth_in=config.object.grid_size[0]).apply(
