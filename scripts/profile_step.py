@@ -108,8 +108,12 @@ def _parse_trace(trace_dir, iters):
     return rows, count, total, module_ms
 
 
+_NOTABLE = ("convolution", "dot(", "scatter", "gather", "sort",
+            "reduce(", "reduce-window", "custom-call", "transpose")
+
+
 def _hlo_fusion_roots(text):
-    """Map fusion/op names -> the HLO root instruction of their fused
+    """Map fusion/op names -> 'ROOT-op [notable body ops]' of their fused
     computation, from the optimized-HLO text
     (`jit(fn).lower(...).compile().as_text()` — the remote-compile axon
     backend never writes --xla_dump_to files on this host), so the
@@ -122,20 +126,34 @@ def _hlo_fusion_roots(text):
     calls = dict(re.findall(
         r"%?([\w.-]+) = [^\n]*? fusion\([^\n]*?calls=%?([\w.-]+)",
         text))
-    # ROOT line of every computation
+    # ROOT line + notable op mix of every computation
     comp_root = {}
+    comp_ops = defaultdict(list)
     cur = None
     for line in text.splitlines():
         m = re.match(r"%?([\w.-]+) \((?:[^)]*)\) -> ", line)
         if m:
             cur = m.group(1)
-        elif cur and line.lstrip().startswith("ROOT "):
-            body = line.split("=", 1)[-1].strip()
-            op = body.split("(")[0].strip()
-            comp_root[cur] = op
+            continue
+        if not cur:
+            continue
+        body = line.split("=", 1)[-1].strip() if "=" in line else ""
+        if line.lstrip().startswith("ROOT "):
+            comp_root[cur] = body.split("(")[0].strip()
+        for key in _NOTABLE:
+            if key in body:
+                comp_ops[cur].append(key.rstrip("("))
+                break
     for fus, comp in calls.items():
         if comp in comp_root:
-            roots[fus] = comp_root[comp]
+            mix = comp_ops.get(comp, [])
+            note = ""
+            if mix:
+                uniq = sorted(set(mix), key=mix.index)
+                note = " [" + "+".join(
+                    f"{mix.count(u)}x{u}" if mix.count(u) > 1 else u
+                    for u in uniq) + "]"
+            roots[fus] = comp_root[comp] + note
     # non-fused named ops attribute to themselves (strip the id suffix)
     return roots
 
@@ -147,7 +165,15 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--stage", default="both",
                     choices=("infer", "train", "both"))
+    ap.add_argument("--host-voxelize", action="store_true",
+                    help="train stage: feed pipeline-voxelized buffers "
+                         "(the production 36 f/s trainer path) instead of "
+                         "raw points — drops the in-graph voxelizer")
     ap.add_argument("--middle-backend", default=None)
+    ap.add_argument("--out-md", default="trace_summary.md",
+                    help="summary filename under --out (use a distinct "
+                         "name for variant configs so the committed "
+                         "default-config summary is not clobbered)")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
 
@@ -194,13 +220,34 @@ def main():
         gt_mask[:, 0] = True
         maps = TargetPrecomputer(config)({"gt_boxes": gt,
                                           "gt_mask": gt_mask})
-        batch = {"points": pts, "num_points": nums,
-                 **{k: jax.device_put(v) for k, v in maps.items()}}
+        if args.host_voxelize:
+            from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_np
+
+            spec = VoxelGridSpec.from_object_config(config.object)
+            pts_h, nums_h = np.asarray(pts), np.asarray(nums)
+            feats, crds, cnts = [], [], []
+            for b in range(args.batch):
+                vox = voxelize_np(pts_h[b, : nums_h[b]], spec,
+                                  max_voxels=config.data.max_voxels)
+                feats.append(vox.features)
+                crds.append(vox.coords)
+                cnts.append(vox.counts)
+            batch = {
+                "voxel_features": jax.device_put(np.stack(feats)),
+                "voxel_coords": jax.device_put(np.stack(crds)),
+                "voxel_counts": jax.device_put(
+                    np.stack(cnts).astype(np.int32)),
+                **{k: jax.device_put(v) for k, v in maps.items()}}
+        else:
+            batch = {"points": pts, "num_points": nums,
+                     **{k: jax.device_put(v) for k, v in maps.items()}}
 
         def train_fn(state, batch):
             new_state, metrics = step(state, batch)
             return metrics["loss"]
 
+        tag = ("train step (fwd+bwd+SGD, host voxels)"
+               if args.host_voxelize else "train step (fwd+bwd+SGD)")
         wall = _trace_one("train", train_fn, (state, batch),
                           logdir, args.iters)
         parsed = _parse_trace(os.path.join(logdir, "train"), args.iters)
@@ -208,10 +255,9 @@ def main():
             hlo = jax.jit(step).lower(state, batch).compile().as_text()
         except Exception:
             hlo = ""
-        sections.append(("train step (fwd+bwd+SGD)", wall, parsed,
-                         _hlo_fusion_roots(hlo)))
+        sections.append((tag, wall, parsed, _hlo_fusion_roots(hlo)))
 
-    out_md = os.path.join(args.out, "trace_summary.md")
+    out_md = os.path.join(args.out, args.out_md)
     with open(out_md, "w") as f:
         f.write(f"# jax.profiler device trace summary (batch "
                 f"{args.batch}, {args.iters} iters/graph)\n\n"
