@@ -82,6 +82,13 @@ class DataConfig:
     # (FLOP-neutral). 'auto' picks the measured winner per backend
     # (BASELINE.md MFU ladder).
     middle_backend: str = "auto"
+    # host-pipeline voxelizer used when train.host_voxelize feeds voxel
+    # buffers from the data threads: 'auto' | 'native' | 'numpy'.
+    # 'native' is the C++ fast path (voxelnet_tpu/native, ~20x the NumPy
+    # twin — on this 1-core host the NumPy twin alone caps the pipeline
+    # at ~10 f/s, under the device's 36 f/s); 'auto' selects it whenever
+    # the g++-built library loads, else falls back to NumPy.
+    host_voxelizer: str = "auto"
     # pass XLA scatter hints (indices_are_sorted + unique_indices) to the
     # sparse->dense grid build: 18.0 -> 12.4 ms/batch8 on v5e
     # (scripts/probe_scatter.py). Sound because every framework voxelizer

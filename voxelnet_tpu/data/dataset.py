@@ -22,7 +22,7 @@ import numpy as np
 
 from voxelnet_tpu.config import VoxelNetConfig
 from voxelnet_tpu.data import augment as augment_lib
-from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_np
+from voxelnet_tpu.ops.voxelize import VoxelGridSpec, resolve_host_voxelizer
 from voxelnet_tpu.utils import kitti
 
 
@@ -57,6 +57,12 @@ class KITTIDataset:
         self.seed = seed
         self.epoch = 0
         self.spec = VoxelGridSpec.from_object_config(config.object)
+        if host_voxelize:
+            # resolved once: C++ fast path when available (the NumPy twin
+            # costs ~100 ms/frame, which starves the device on few-core
+            # hosts — see config.DataConfig.host_voxelizer)
+            self._voxelize = resolve_host_voxelizer(
+                config.data.host_voxelizer)
 
         velo_dir = os.path.join(data_dir, "velodyne")
         self.tags = sorted(
@@ -135,8 +141,8 @@ class KITTIDataset:
             gt_clipped=len(gt_lidar) > self.config.data.max_gt_boxes,
         )
         if self.host_voxelize:
-            vox = voxelize_np(points[:n], self.spec,
-                              max_voxels=self.config.data.max_voxels)
+            vox = self._voxelize(points[:n], self.spec,
+                                 max_voxels=self.config.data.max_voxels)
             ex.voxel_features = vox.features
             ex.voxel_coords = vox.coords
             ex.voxel_counts = vox.counts

@@ -135,6 +135,31 @@ def voxelize_np(points: np.ndarray, spec: VoxelGridSpec,
     return Voxels(features, coords, counts, K, K)
 
 
+def resolve_host_voxelizer(configured: str = "auto"):
+    """Resolve the host-pipeline voxelizer backend -> callable with the
+    voxelize_np(points, spec, max_voxels) signature (no-shuffle form).
+
+    'native' = the C++ fast path (voxelnet_tpu/native, built on demand
+    with g++, ~20x voxelize_np — the NumPy twin's ~100 ms/frame caps a
+    1-core host pipeline at ~10 f/s, under the device's train
+    throughput); 'numpy' = the twin above; 'auto' = native when the
+    library loads, else numpy.
+    """
+    if configured == "numpy":
+        return voxelize_np
+    from voxelnet_tpu import native
+    if configured == "native":
+        if not native.available():
+            raise RuntimeError(
+                "data.host_voxelizer='native' but the C++ library failed "
+                "to build/load; use 'auto' or 'numpy'")
+        return native.voxelize_native
+    if configured == "auto":
+        return native.voxelize_native if native.available() else voxelize_np
+    raise ValueError(
+        f"data.host_voxelizer must be auto|native|numpy, got {configured!r}")
+
+
 # ---------------------------------------------------------------------------
 # JAX on-device path (fixed shapes, jit-safe)
 # ---------------------------------------------------------------------------
