@@ -1,0 +1,125 @@
+"""Sustained END-TO-END train throughput: threaded host pipeline + device.
+
+bench.py --stage train times the device step with pre-staged buffers; this
+probe measures what a user actually gets — the trainer's production loop
+(LazyBatchIterator workers -> host targets -> double-buffered device_put ->
+jitted train step) over real KITTI frames, including file IO, host
+voxelization (when train.host_voxelize) and H2D transfer. The interesting
+comparison on this 1-core host:
+
+  --host-vox off            on-device voxelizer, host does IO+targets only
+  --host-vox numpy          host_voxelize with the NumPy twin (~41 ms/frame)
+  --host-vox native         host_voxelize with the C++ voxelizer (~2.6 ms)
+
+Sync discipline: ONE loss fetch per epoch (the axon backend resolves
+futures lazily; a value fetch is the only real sync — CLAUDE.md), so the
+epoch wall time brackets fully-retired device work.
+
+Usage: python scripts/probe_pipeline.py --data .data/kitti_raw0001_block/training \
+           --host-vox native --batch 8 --epochs 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=".data/kitti_raw0001_block/training")
+    ap.add_argument("--class-name", default="Car")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=6,
+                    help="timed epochs (one extra warmup epoch runs first)")
+    ap.add_argument("--host-vox", default="native",
+                    choices=("off", "numpy", "native"))
+    ap.add_argument("--host-targets", default="on", choices=("on", "off"),
+                    help="off = assign targets on device (ships tiny "
+                         "gt_boxes instead of ~20 MB/batch of target maps "
+                         "— the lever that matters on a thin H2D link)")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="pipeline worker threads (default: train config)")
+    args = ap.parse_args()
+
+    if os.environ.get("VOXELNET_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["VOXELNET_PLATFORM"])
+    import jax
+
+    from voxelnet_tpu.config import get_config
+    from voxelnet_tpu.data.dataset import KITTIDataset
+    from voxelnet_tpu.data.pipeline import LazyBatchIterator
+    from voxelnet_tpu.ops.targets import TargetPrecomputer
+    from voxelnet_tpu.training.optim import make_optimizer
+    from voxelnet_tpu.training.train_step import (create_train_state,
+                                                  make_train_step)
+
+    host_vox = args.host_vox != "off"
+    config = get_config(
+        args.class_name,
+        data={"host_voxelizer": args.host_vox if host_vox else "auto"},
+        train={"batch_size": args.batch, "host_voxelize": host_vox,
+               "host_targets": args.host_targets == "on"},
+    )
+    ds = KITTIDataset(args.data, config, host_voxelize=host_vox)
+    steps = max(1, len(ds) // args.batch)
+    tx = make_optimizer(config, steps)
+    state = create_train_state(config, tx, jax.random.key(0))
+    train_step = make_train_step(config, tx)
+    transform = TargetPrecomputer(config) if config.train.host_targets \
+        else None
+    workers = args.workers or config.train.num_workers
+
+    def run_epoch(epoch):
+        ds.set_epoch(epoch)
+        it = iter(LazyBatchIterator(ds, args.batch, shuffle=True,
+                                    seed=epoch, workers=workers,
+                                    transform=transform))
+
+        def stage_next():
+            b = next(it, None)
+            if b is None:
+                return None
+            import numpy as np
+            return {k: jax.device_put(v) for k, v in b.items()
+                    if isinstance(v, np.ndarray)}
+
+        nonlocal state
+        t0 = time.perf_counter()
+        pending = stage_next()
+        n = 0
+        metrics = None
+        while pending is not None:
+            state, metrics = train_step(state, pending)
+            n += 1
+            pending = stage_next()
+        loss = float(metrics["loss"])  # the one real sync
+        return time.perf_counter() - t0, n, loss
+
+    wall, n, loss = run_epoch(0)  # warmup: compile + cache fill
+    print(f"warmup epoch: {wall:.1f}s ({n} steps, loss {loss:.3f})",
+          file=sys.stderr)
+    fps = []
+    for e in range(1, args.epochs + 1):
+        wall, n, loss = run_epoch(e)
+        fps.append(n * args.batch / wall)
+        print(f"epoch {e}: {wall:.2f}s, {fps[-1]:.1f} frames/s "
+              f"(loss {loss:.3f})", file=sys.stderr)
+    fps.sort()
+    med = fps[len(fps) // 2]
+    print(json.dumps({
+        "metric": "end-to-end train frames/sec (pipeline + device)",
+        "host_vox": args.host_vox, "host_targets": args.host_targets,
+        "batch": args.batch,
+        "value": round(med, 2),
+        "runs": [round(f, 2) for f in fps]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,13 +119,24 @@ class TrainConfig:
     debug_nans: bool = False          # jax_debug_nans toggle (sanitizer knob)
     # assign anchor targets on the input-pipeline threads (overlapped with
     # device compute) instead of inside the jitted step — the targets
-    # depend only on (gt_boxes, anchors), not params
-    host_targets: bool = True
+    # depend only on (gt_boxes, anchors), not params. Default OFF: the
+    # precomputed maps add ~20 MB/batch8 of H2D traffic to save 6.4 ms of
+    # device compute, a bad trade on any host-device link under ~3 GB/s —
+    # measured end-to-end on the tunneled dev chip it is the difference
+    # between 1.8 and 24 frames/sec (scripts/probe_pipeline.py,
+    # BASELINE.md). Turn on only when the host link is direct PCIe AND
+    # host cores are plentiful.
+    host_targets: bool = False
     # voxelize on the input-pipeline threads and feed voxel buffers to
     # the train step (the in-graph XLA voxelizer — ~29.5 ms/batch8 of
-    # table scatter — drops out: 28.9 -> 32.8 f/s device-side on v5e).
-    # Opt-in: host voxelization costs ~100 ms/frame of CPU per worker
-    # thread, so it needs enough host cores to stay ahead of the device.
+    # table scatter — drops out: 31.4 -> 36.0 f/s device-side on v5e).
+    # Opt-in, and only worth it on a direct-PCIe host: the (B, K, T, 7)
+    # buffers are ~96 MB/batch8 of H2D traffic (vs 8 MB of raw points),
+    # which drowns the 32 ms device win on a thin link
+    # (scripts/probe_pipeline.py, BASELINE.md end-to-end table). Host CPU
+    # is no longer the constraint — the C++ voxelizer
+    # (data.host_voxelizer='auto' -> voxelnet_tpu/native) does ~2.6
+    # ms/frame vs the NumPy twin's ~41 ms.
     host_voxelize: bool = False
 
 
