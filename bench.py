@@ -37,7 +37,10 @@ BATCH = 24  # fused-VFE sweet spot on v5e: 92.5 @ B8, 98.9 @ B16, 99.9 @ B24, OO
 ITERS = 20
 
 
-def load_frames(max_points: int, batch: int):
+def load_frames(max_points: int, batch: int, spec=None):
+    """Frames prepared exactly like the data pipeline: grid crop (when
+    data.crop_to_grid — keeps ALL in-grid points, ~62k/frame, the same
+    workload the torch-CPU baseline voxelized uncapped), shuffle, cap."""
     files = sorted(glob.glob(DATA_GLOB))
     rng = np.random.default_rng(0)
     clouds = []
@@ -56,6 +59,9 @@ def load_frames(max_points: int, batch: int):
         pts = np.zeros((batch, max_points, 4), np.float32)
         nums = np.zeros((batch,), np.int32)
         for i, pcl in enumerate(clouds[start:start + batch]):
+            if spec is not None:
+                from voxelnet_tpu.ops.voxelize import in_grid_mask
+                pcl = pcl[in_grid_mask(pcl, spec)]
             pcl = pcl[rng.permutation(len(pcl))]
             n = min(len(pcl), max_points)
             pts[i, :n] = pcl[:n]
@@ -298,7 +304,10 @@ def main(argv=None):
     chained, label = made[0], made[1]
     prep = made[2] if len(made) > 2 else (lambda p, n: (p, n))
 
-    batches = load_frames(config.data.max_points, BATCH)
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec
+    crop_spec = (VoxelGridSpec.from_object_config(config.object)
+                 if config.data.crop_to_grid else None)
+    batches = load_frames(config.data.max_points, BATCH, spec=crop_spec)
     dev_batches = [tuple(jax.device_put(a) for a in prep(p, n))
                    for p, n in batches]
 

@@ -239,3 +239,26 @@ def test_plan_batches_tiles_small_dataset():
     plan2 = plan_batches(10, 4, shuffle=True, seed=3,
                          drop_remainder=False, process_shard=(1, 2))
     assert all(len(i) == 2 for i, _ in plan2)  # local rows of global 4
+
+
+def test_crop_to_grid_keeps_in_grid_points(kitti_dir, tiny_config):
+    # under a tight max_points cap, crop_to_grid=True fills the bucket
+    # with in-grid points only; =False wastes bucket rows on points the
+    # voxelizer would drop
+    from dataclasses import replace
+
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, in_grid_mask
+
+    data_on = replace(tiny_config.data, max_points=512, crop_to_grid=True)
+    data_off = replace(tiny_config.data, max_points=512, crop_to_grid=False)
+    cfg_on = replace(tiny_config, data=data_on)
+    cfg_off = replace(tiny_config, data=data_off)
+    spec = VoxelGridSpec.from_object_config(tiny_config.object)
+
+    ex_on = KITTIDataset(kitti_dir, cfg_on)[0]
+    ex_off = KITTIDataset(kitti_dir, cfg_off)[0]
+    kept_on = ex_on.points[: int(ex_on.num_points)]
+    kept_off = ex_off.points[: int(ex_off.num_points)]
+    assert in_grid_mask(kept_on, spec).all()
+    assert in_grid_mask(kept_on, spec).sum() >= in_grid_mask(
+        kept_off, spec).sum()

@@ -129,3 +129,16 @@ def test_dataset_uses_native_path(tmp_path):
     np.testing.assert_array_equal(a.voxel_coords, b.voxel_coords)
     np.testing.assert_array_equal(a.voxel_counts, b.voxel_counts)
     np.testing.assert_allclose(a.voxel_features, b.voxel_features, atol=2e-5)
+
+
+def test_native_crop_matches_mask(spec):
+    from voxelnet_tpu.ops.voxelize import crop_points, in_grid_mask
+
+    pts = _random_cloud(np.random.default_rng(11), n=30000)
+    ref = pts[in_grid_mask(pts, spec)]
+    got = native.crop_in_grid(pts, spec)
+    np.testing.assert_array_equal(ref, got)       # selection AND order
+    np.testing.assert_array_equal(crop_points(pts, spec), ref)
+    # empty in, empty out
+    assert native.crop_in_grid(np.zeros((0, 4), np.float32), spec).shape \
+        == (0, 4)

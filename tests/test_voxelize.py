@@ -203,3 +203,30 @@ def test_boundary_binning_matches_host(car_spec):
     host_set = {tuple(c) for c in host.coords[:kh]}
     dev_set = {tuple(c) for c in np.asarray(dev.coords)[0][:kd]}
     assert host_set == dev_set
+
+
+def test_in_grid_mask_matches_voxelizer_selection(car_spec):
+    # cropping by the mask then voxelizing is bit-identical to voxelizing
+    # the full cloud (the voxelizer's internal crop IS this mask) — incl.
+    # boundary-straddling points, so pipelines may crop pre-cap safely
+    from voxelnet_tpu.ops.voxelize import in_grid_mask
+
+    pts = _cloud(6000, seed=5, spread=True)
+    # add exact-boundary points
+    vz, vy, vx = car_spec.voxel_size_zyx
+    ox, oy, oz = car_spec.offset_xyz
+    edge = np.zeros((40, 4), np.float32)
+    edge[:, 0] = np.arange(40, dtype=np.float32) * np.float32(vx) \
+        - np.float32(ox)
+    edge[:, 1] = -np.float32(oy)
+    edge[:, 2] = -np.float32(oz)
+    pts = np.concatenate([pts, edge])
+
+    mask = in_grid_mask(pts, car_spec)
+    a = voxelize_np(pts, car_spec, max_voxels=64)
+    b = voxelize_np(pts[mask], car_spec, max_voxels=64)
+    assert a.num_voxels == b.num_voxels
+    assert a.num_voxels_raw == b.num_voxels_raw
+    np.testing.assert_array_equal(a.coords, b.coords)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_array_equal(a.features, b.features)

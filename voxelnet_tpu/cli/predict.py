@@ -25,7 +25,8 @@ import numpy as np
 
 from voxelnet_tpu.config import get_config
 from voxelnet_tpu.models.voxelnet import init_params, make_inference_fn
-from voxelnet_tpu.ops.voxelize import pad_points
+from voxelnet_tpu.ops.voxelize import (VoxelGridSpec, crop_points,
+                                       pad_points)
 from voxelnet_tpu.training import checkpoint as ckpt_lib
 from voxelnet_tpu.utils import kitti
 
@@ -62,6 +63,12 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     for path in paths:
         pcl = kitti.read_point_cloud(path)
+        if config.data.crop_to_grid:
+            # same pre-cap grid crop as the training pipeline
+            # (data/dataset.py) — keeps the cap from dropping in-grid
+            # points of raw 360-degree scans
+            spec = VoxelGridSpec.from_object_config(config.object)
+            pcl = crop_points(pcl, spec)
         # uniform subsample on overflow, like the training pipeline
         # (data/dataset.py:119-123) — unshuffled truncation would drop a
         # contiguous azimuth sector of raw uncropped scans

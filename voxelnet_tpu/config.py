@@ -61,10 +61,25 @@ class DataConfig:
     # Static-shape buckets (TPU: ragged point/voxel counts must map to a small
     # fixed set of shapes so XLA never recompiles in steady state).
     max_points: int = 65536       # N bucket: points fed to the voxelizer
-    max_voxels: int = 12288       # K bucket: occupied voxels kept per frame
+    # K bucket: occupied voxels kept per frame. Sized for crop_to_grid
+    # pipelines: a raw KITTI frame's ~62k in-grid points occupy ~13.9k
+    # voxels on the Car grid (the pre-crop pipeline's random point drop
+    # masked this at ~11.2k) — 12288 would clip ~12% of real voxels with
+    # a spatially biased (lowest-grid-id) subset. Costs ~2.4% inference
+    # throughput vs 12288 (BASELINE.md).
+    max_voxels: int = 16384
     max_gt_boxes: int = 64        # padded ground-truth boxes per frame
     shuffle_points: bool = True   # reference shuffles before voxelizing
                                   # (voxelnet/utils.py:35)
+    # drop points outside the voxel grid BEFORE the max_points cap (same
+    # float32 binning test as every voxelizer here, ops/voxelize.
+    # in_grid_mask). The ragged reference crops inside its voxelizer with
+    # no cap (voxelnet/utils.py:36-42); with a static cap, cropping first
+    # stops out-of-grid points from crowding in-grid ones out of the
+    # bucket (a raw 360-degree cloud is ~123k points, only ~55-60%
+    # in-grid for Car — uncropped, the 65536 cap randomly drops ~47% of
+    # the useful points).
+    crop_to_grid: bool = True
     # 'auto' currently resolves to 'xla' everywhere (the Pallas run-copy
     # kernel is correct but loses to XLA's scatters under Mosaic's lane
     # padding — see ops/voxelize.resolve_backend); explicit

@@ -22,6 +22,7 @@ import numpy as np
 
 from voxelnet_tpu.config import VoxelNetConfig
 from voxelnet_tpu.data import augment as augment_lib
+from voxelnet_tpu.ops import voxelize as voxelize_lib
 from voxelnet_tpu.ops.voxelize import VoxelGridSpec, resolve_host_voxelizer
 from voxelnet_tpu.utils import kitti
 
@@ -127,6 +128,10 @@ class KITTIDataset:
         gt_boxes, gt_mask = kitti.pad_gt_boxes(
             gt_lidar, self.config.data.max_gt_boxes)
 
+        if self.config.data.crop_to_grid:
+            # after augmentation (global rotation/scale move points across
+            # the grid boundary), before the cap — see DataConfig
+            points = voxelize_lib.crop_points(points, self.spec)
         if self.config.data.shuffle_points:
             points = points[rng.permutation(len(points))]
         n = min(len(points), self.config.data.max_points)

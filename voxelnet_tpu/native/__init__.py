@@ -57,6 +57,15 @@ def _load():
         except (OSError, subprocess.SubprocessError, FileNotFoundError):
             _load_failed = True
             return None
+        crop = lib.voxelnet_crop_f32
+        crop.restype = ctypes.c_int64
+        crop.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         fn = lib.voxelnet_voxelize_f32
         fn.restype = ctypes.c_int
         fn.argtypes = [
@@ -121,3 +130,29 @@ def voxelize_native(points: np.ndarray, spec, max_voxels: int):
     if rc != 0:
         raise RuntimeError(f"native voxelizer error code {rc}")
     return Voxels(features, coords, counts, int(k.value), int(k_raw.value))
+
+
+def crop_in_grid(points: np.ndarray, spec) -> np.ndarray:
+    """Native twin of `points[ops.voxelize.in_grid_mask(points, spec)]`
+    (bit-identical selection AND row order — pure copies). Raises
+    RuntimeError if the library is unavailable; callers go through
+    ops/voxelize.crop_points, which falls back to the NumPy mask."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native voxelizer unavailable (g++ build failed)")
+    pts = np.ascontiguousarray(
+        np.asarray(points, np.float32).reshape(-1, 4))
+    D, H, W = spec.grid_dzyx
+    out = np.empty_like(pts)
+    k = lib.voxelnet_crop_f32(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(pts)),
+        D, H, W,
+        ctypes.c_float(spec.voxel_size_zyx[0]),
+        ctypes.c_float(spec.voxel_size_zyx[1]),
+        ctypes.c_float(spec.voxel_size_zyx[2]),
+        ctypes.c_float(spec.offset_xyz[0]),
+        ctypes.c_float(spec.offset_xyz[1]),
+        ctypes.c_float(spec.offset_xyz[2]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out[:k]

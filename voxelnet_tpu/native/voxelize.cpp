@@ -122,4 +122,29 @@ int voxelnet_voxelize_f32(
   return 0;
 }
 
+// Compact `points` (n, 4) to only those inside the (D, H, W) grid — the
+// identical float32 bin test as the voxelizer above (and therefore
+// ops/voxelize.in_grid_mask). Writes kept rows to out_points (caller
+// allocates >= n rows) and returns the kept count. This is the
+// data.crop_to_grid pre-cap step, ~6-8 ms/frame in NumPy on this host.
+int64_t voxelnet_crop_f32(
+    const float* points, int64_t n,
+    int32_t D, int32_t H, int32_t W,
+    float vsz, float vsy, float vsx,
+    float offx, float offy, float offz,
+    float* out_points) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = points + i * 4;
+    int64_t vx = (int64_t)std::floor((p[0] + offx) / vsx);
+    int64_t vy = (int64_t)std::floor((p[1] + offy) / vsy);
+    int64_t vz = (int64_t)std::floor((p[2] + offz) / vsz);
+    if (vx < 0 || vx >= W || vy < 0 || vy >= H || vz < 0 || vz >= D)
+      continue;
+    std::memcpy(out_points + k * 4, p, 4 * sizeof(float));
+    ++k;
+  }
+  return k;
+}
+
 }  // extern "C"

@@ -63,6 +63,42 @@ class Voxels(NamedTuple):
 # NumPy host path (reference-parity semantics)
 # ---------------------------------------------------------------------------
 
+def in_grid_mask(points: np.ndarray, spec: VoxelGridSpec) -> np.ndarray:
+    """Boolean mask of points the voxelizer would keep — the EXACT float32
+    shift+divide+floor binning every voxelizer in this repo uses
+    (voxelize_np below, the device path at _sort_stage, the C++ path), so
+    cropping by this mask never disagrees with the binning at voxel
+    boundaries.
+
+    Used by the data pipeline's crop-to-grid step (data.crop_to_grid):
+    the static max_points cap keeps the FIRST max_points of the shuffled
+    cloud, so without cropping, out-of-grid points crowd out in-grid ones
+    (a full 360-degree KITTI raw cloud is ~123k points of which only
+    ~55-60% fall in the Car grid). The ragged reference has no cap and
+    crops inside its voxelizer (voxelnet/utils.py:36-42); cropping before
+    the cap keeps the capped pipeline closest to it.
+    """
+    D, H, W = spec.grid_dzyx
+    pts = np.asarray(points, np.float32).reshape(-1, 4)
+    shifted = pts[:, :3] + np.asarray(spec.offset_xyz, np.float32)
+    vx = np.floor(shifted[:, 0] / spec.voxel_size_zyx[2]).astype(np.int64)
+    vy = np.floor(shifted[:, 1] / spec.voxel_size_zyx[1]).astype(np.int64)
+    vz = np.floor(shifted[:, 2] / spec.voxel_size_zyx[0]).astype(np.int64)
+    return ((vz >= 0) & (vz < D) & (vy >= 0) & (vy < H)
+            & (vx >= 0) & (vx < W))
+
+
+def crop_points(points: np.ndarray, spec: VoxelGridSpec) -> np.ndarray:
+    """points[in_grid_mask(points, spec)], via the native C++ fast path
+    when it loads (the NumPy mask costs ~6-8 ms on a raw 123k-point
+    frame — real pipeline overhead on few-core hosts)."""
+    from voxelnet_tpu import native
+    if native.available():
+        return native.crop_in_grid(points, spec)
+    pts = np.asarray(points, np.float32).reshape(-1, 4)
+    return pts[in_grid_mask(pts, spec)]
+
+
 def voxelize_np(points: np.ndarray, spec: VoxelGridSpec,
                 max_voxels: int | None = None,
                 shuffle: bool = False,
