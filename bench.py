@@ -130,7 +130,10 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
         def tail(vw, coords, counts):
             if stage == "vfe":
                 return vw.sum().astype(jnp.float32) * 0.0
-            if middle_backend == "folded2d":
+            if middle_backend == "sparse1" and stage == "middle":
+                # block 1 reads the voxel table; no dense grid is built
+                dense = (vw, coords, counts)
+            elif middle_backend == "folded2d":
                 dense = scatter_to_dense_folded(
                     vw, coords, counts, config.object.grid_size)
             else:
@@ -140,7 +143,8 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
                 return dense.sum().astype(jnp.float32) * 0.0
             bev = MiddleLayers(
                 dtype=jnp.bfloat16, backend=middle_backend,
-                depth_in=config.object.grid_size[0]).apply(
+                depth_in=config.object.grid_size[0],
+                grid_hw=tuple(config.object.grid_size[1:])).apply(
                 {"params": variables["params"]["middle"],
                  "batch_stats": variables["batch_stats"]["middle"]},
                 dense, False)
@@ -263,10 +267,13 @@ def main(argv=None):
                     choices=("vfe", "dense", "middle", "infer", "train",
                              "targets"))
     ap.add_argument("--middle-backend", default=None,
-                    choices=("auto", "conv3d", "folded2d", "tap2d"),
+                    choices=("auto", "conv3d", "folded2d", "tap2d",
+                             "sparse1"),
                     help="override data.middle_backend (conv3d = plain "
                          "Conv3D; folded2d = depth-folded Conv2D; tap2d "
-                         "= per-depth-tap batched Conv2D)")
+                         "= per-depth-tap batched Conv2D; sparse1 = "
+                         "block 1 off the voxel table, no C=128 dense "
+                         "scatter)")
     ap.add_argument("--class-name", default="Car",
                     choices=("Car", "Pedestrian", "Cyclist"))
     ap.add_argument("--host-targets", action="store_true",

@@ -214,7 +214,20 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--k-out", type=int, default=49152)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated candidate keys to run "
+                         "(dense,a,a16,a1,b) — one per invocation keeps "
+                         "each chip run to ~2 remote compiles")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the correctness diff (saves one compile; "
+                         "use after a CPU equivalence pass)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (never touches the "
+                         "exclusive TPU chip; JAX_PLATFORMS is ignored "
+                         "by the axon plugin)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     config = get_config()
     spec = VoxelGridSpec.from_object_config(config.object)
@@ -234,28 +247,32 @@ def main():
 
     ref = None
     cands = (
-        ("dense scatter+conv3d (baseline)",
+        ("dense", "dense scatter+conv3d (baseline)",
          lambda f, c, n: dense_block1(f, c, n, kernel, bias, g)),
-        ("A  27 scatter-adds f32",
+        ("a", "A  27 scatter-adds f32",
          lambda f, c, n: sparse_a(f, c, n, kernel, bias, g)),
-        ("A  27 scatter-adds bf16-acc",
+        ("a16", "A  27 scatter-adds bf16-acc",
          lambda f, c, n: sparse_a(f, c, n, kernel, bias, g,
                                   acc_dtype=jnp.bfloat16)),
-        ("A1 combined scatter-add",
+        ("a1", "A1 combined scatter-add",
          lambda f, c, n: sparse_a(f, c, n, kernel, bias, g, combined=True)),
-        ("B  output-stationary gather",
+        ("b", "B  output-stationary gather",
          lambda f, c, n: sparse_b(f, c, n, kernel, bias, g, args.k_out)),
     )
-    for name, fn in cands:
-        out = jax.jit(fn)(feat, coords, counts)
-        if ref is None:
-            ref = np.asarray(out, np.float32)
-            scale = float(np.abs(ref).max())
-            print(f"ref |max| = {scale:.3f}")
-        else:
-            diff = float(np.abs(np.asarray(out, np.float32) - ref).max())
-            print(f"{name}: max|diff| = {diff:.5f} "
-                  f"({diff / scale:.2e} rel)")
+    only = set(args.only.split(",")) if args.only else None
+    for key, name, fn in cands:
+        if only is not None and key not in only:
+            continue
+        if not args.no_check:
+            out = jax.jit(fn)(feat, coords, counts)
+            if key == "dense":
+                ref = np.asarray(out, np.float32)
+                scale = float(np.abs(ref).max())
+                print(f"ref |max| = {scale:.3f}")
+            elif ref is not None:
+                diff = float(np.abs(np.asarray(out, np.float32) - ref).max())
+                print(f"{name}: max|diff| = {diff:.5f} "
+                      f"({diff / scale:.2e} rel)")
         ms = time_fn(fn, (feat, coords, counts), iters=args.iters)
         print(f"{name}: {ms:.2f} ms/batch{B}", flush=True)
 

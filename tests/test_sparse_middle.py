@@ -1,0 +1,183 @@
+"""Equivalence tests for the sparse block-1 middle lowering
+(models/middle.py backend='sparse1', models/sparse_conv.py): block 1
+computed input-stationarily off the (B, K, C) occupied-voxel table —
+one (C -> 27*Cout) matmul + 27 unique-index scatter-adds — must match
+scatter_to_dense + Conv3D exactly (same parameter tree), in eval and
+train mode, values and gradients."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelnet_tpu.models.middle import MiddleLayers
+from voxelnet_tpu.models.scatter import scatter_to_dense
+from voxelnet_tpu.models.sparse_conv import sparse_conv3x3
+
+D, H, W, C, K, B = 10, 8, 8, 16, 48, 2
+
+
+def _table(seed=0, k=K):
+    """Random sparse voxel table with unique coords per frame."""
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(B, k, C)).astype(np.float32)
+    coords = np.zeros((B, k, 3), np.int32)
+    counts = np.zeros((B, k), np.int32)
+    for b in range(B):
+        lin = rng.choice(D * H * W, size=k, replace=False)
+        lin.sort()
+        coords[b, :, 0] = lin // (H * W)
+        coords[b, :, 1] = (lin // W) % H
+        coords[b, :, 2] = lin % W
+        live = int(rng.integers(k // 2, k + 1))
+        counts[b, :live] = 1
+    feats[counts == 0] = 0
+    return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(counts)
+
+
+@pytest.mark.parametrize("stride_d,pad_d", [(2, 1), (1, 0)])
+def test_sparse_conv_matches_dense_conv(stride_d, pad_d):
+    feats, coords, counts = _table()
+    rng = np.random.default_rng(3)
+    kernel = jnp.asarray(
+        rng.normal(size=(3, 3, 3, C, 8)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    dense = scatter_to_dense(feats, coords, counts, (D, H, W))
+    ref = jax.lax.conv_general_dilated(
+        dense, kernel, window_strides=(stride_d, 1, 1),
+        padding=((pad_d, pad_d), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+
+    got = sparse_conv3x3(feats, coords, counts, kernel, bias,
+                         (D, H, W), stride_d, pad_d)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_conv_empty_rf_sites_equal_bias():
+    """A frame with zero live voxels must output exactly bias."""
+    feats, coords, counts = _table(seed=1)
+    counts = counts.at[1].set(0)
+    rng = np.random.default_rng(4)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, C, 8)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    out = sparse_conv3x3(feats, coords, counts, kernel, bias,
+                         (D, H, W), 2, 1)
+    np.testing.assert_array_equal(
+        np.asarray(out[1]), np.broadcast_to(np.asarray(bias), out[1].shape))
+
+
+@pytest.fixture(scope="module")
+def table():
+    return _table()
+
+
+@pytest.fixture(scope="module")
+def variables(table):
+    feats, coords, counts = table
+    dense = scatter_to_dense(feats, coords, counts, (D, H, W))
+    return MiddleLayers(dtype=jnp.float32).init(jax.random.key(0), dense)
+
+
+def test_param_trees_identical(table, variables):
+    sp = MiddleLayers(dtype=jnp.float32, backend="sparse1", depth_in=D,
+                      grid_hw=(H, W)).init(jax.random.key(0), table)
+    assert jax.tree.map(jnp.shape, sp) == jax.tree.map(jnp.shape, variables)
+
+
+def test_eval_and_train_equivalence(table, variables):
+    feats, coords, counts = table
+    dense = scatter_to_dense(feats, coords, counts, (D, H, W))
+    y3 = MiddleLayers(dtype=jnp.float32).apply(variables, dense, False)
+    ys = MiddleLayers(dtype=jnp.float32, backend="sparse1", depth_in=D,
+                      grid_hw=(H, W)).apply(variables, table, False)
+    assert y3.shape == ys.shape == (B, H, W, 128)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(ys),
+                               rtol=1e-4, atol=1e-4)
+
+    y3t, m3 = MiddleLayers(dtype=jnp.float32).apply(
+        variables, dense, True, mutable=["batch_stats"])
+    yst, ms = MiddleLayers(dtype=jnp.float32, backend="sparse1",
+                           depth_in=D, grid_hw=(H, W)).apply(
+        variables, table, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y3t), np.asarray(yst),
+                               rtol=1e-4, atol=1e-4)
+    flat3 = jax.tree_util.tree_leaves_with_path(m3["batch_stats"])
+    flats = dict(jax.tree_util.tree_leaves_with_path(ms["batch_stats"]))
+    assert len(flat3) == 6
+    for path, leaf in flat3:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flats[path]),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
+
+
+def test_grads_match_dense_path(table, variables):
+    """d(sum(middle))/d(params, feats) agree between the sparse and
+    dense lowerings — the train step's backward is exact too."""
+    feats, coords, counts = table
+    mid3 = MiddleLayers(dtype=jnp.float32)
+    mids = MiddleLayers(dtype=jnp.float32, backend="sparse1", depth_in=D,
+                        grid_hw=(H, W))
+
+    def loss3(params, f):
+        dense = scatter_to_dense(f, coords, counts, (D, H, W))
+        y, _ = mid3.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          dense, True, mutable=["batch_stats"])
+        return (y * y).sum()
+
+    def losss(params, f):
+        y, _ = mids.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          (f, coords, counts), True,
+                          mutable=["batch_stats"])
+        return (y * y).sum()
+
+    g3 = jax.grad(loss3, argnums=(0, 1))(variables["params"], feats)
+    gs = jax.grad(losss, argnums=(0, 1))(variables["params"], feats)
+    for a, b in zip(jax.tree.leaves(g3), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_full_model_sparse1_equivalence(tiny_config, tiny_batch):
+    """Whole VoxelNet forward agrees between conv3d and sparse1 (which
+    never builds the C-channel dense grid) on the tiny grid."""
+    from voxelnet_tpu.models.voxelnet import build_model, init_params
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+
+    cfg3 = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="conv3d"))
+    cfgs = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="sparse1"))
+    variables = init_params(cfg3, jax.random.key(0))
+    spec = VoxelGridSpec.from_object_config(tiny_config.object)
+    vox = voxelize_batch_jax(
+        jnp.asarray(tiny_batch["points"]),
+        jnp.asarray(tiny_batch["num_points"]), spec,
+        tiny_config.data.max_voxels, "xla")
+    outs = {}
+    for name, cfg in (("conv3d", cfg3), ("sparse1", cfgs)):
+        model = build_model(cfg)
+        assert model.middle_backend == name
+        outs[name] = model.apply(variables, vox.features, vox.coords,
+                                 vox.counts, train=False)
+    for a, b in zip(outs["conv3d"], outs["sparse1"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_sparse1_rejects_model_sharding(tiny_config):
+    from voxelnet_tpu.models.voxelnet import resolve_middle_backend
+
+    cfg = tiny_config.replace(
+        data=dataclasses.replace(tiny_config.data,
+                                 middle_backend="sparse1"),
+        system=dataclasses.replace(tiny_config.system,
+                                   num_model_shards=2))
+    with pytest.raises(ValueError, match="sparse1"):
+        resolve_middle_backend(cfg)

@@ -89,12 +89,15 @@ class DataConfig:
     # single Pallas voxelize+VFE kernel (kernels/vfe_fused.py, 2.5x the
     # XLA stage on v5e); 'auto' selects it on TPU for unsharded graphs
     vfe_backend: str = "auto"
-    # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d' | 'tap2d'.
-    # All are mathematically identical with one shared parameter tree
-    # (models/middle.py): 'folded2d' = ONE block-banded Conv2D with depth
-    # folded into channels (Din/3 x FLOPs, biggest contractions);
-    # 'tap2d' = 3 depth-tap Conv2Ds over the merged (B, D') batch
-    # (FLOP-neutral). 'auto' picks the measured winner per backend
+    # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d' | 'tap2d' |
+    # 'sparse1'. All are mathematically identical with one shared
+    # parameter tree (models/middle.py): 'folded2d' = ONE block-banded
+    # Conv2D with depth folded into channels (Din/3 x FLOPs, biggest
+    # contractions); 'tap2d' = 3 depth-tap Conv2Ds over the merged
+    # (B, D') batch (FLOP-neutral); 'sparse1' = block 1 computed
+    # input-stationarily off the (B, K, C) voxel table, skipping the
+    # C=128 dense scatter entirely (models/sparse_conv.py; no spatial
+    # sharding). 'auto' picks the measured winner per backend
     # (BASELINE.md MFU ladder).
     middle_backend: str = "auto"
     # host-pipeline voxelizer used when train.host_voxelize feeds voxel

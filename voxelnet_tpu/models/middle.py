@@ -23,8 +23,16 @@ Three mathematically identical lowerings, selected by `backend`:
     conv3d) and every conv is the 3x3 NHWC 128->64 shape XLA already
     tiles well for the RPN — targets the measured Conv3D MFU sink
     without the folded2d multiplier.
+  * 'sparse1'  — block 1 computed input-stationarily from the (B, K, C)
+    occupied-voxel table (models/sparse_conv.py): one MXU-filling
+    (C -> 27*64) matmul + 27 unique-index scatter-adds. Skips 93% of
+    block-1's dense FLOPs AND the 128-channel sparse-to-dense scatter
+    (the dense grid is never built at C=128 — the first dense tensor is
+    block-1's 4x-smaller output). Blocks 2-3 stay XLA Conv3D (after one
+    3^3 dilation the occupancy is too dense to win). Input is the
+    (voxelwise, coords, counts) tuple, not a dense grid.
 
-All three share one parameter tree; the winner per stage is measured on
+All four share one parameter tree; the winner per stage is measured on
 hardware (BASELINE.md MFU ladder) and picked by
 models/voxelnet.resolve_middle_backend('auto').
 """
@@ -119,6 +127,32 @@ class _TapConv(nn.Module):
         return y.reshape(b, dout, h, w, self.cout)
 
 
+class _SparseConv(nn.Module):
+    """Param-compatible stand-in for block-1's nn.Conv (same 'kernel' /
+    'bias' parameters, shapes, init) computing the conv sparsely from
+    the (voxelwise, coords, counts) table — models/sparse_conv.py.
+    Output is the dense (B, Dout, H, W, Cout) grid block 2 consumes."""
+
+    cout: int
+    cin: int
+    stride_d: int
+    pad_d: int
+    grid_dzyx: tuple[int, int, int] = (0, 0, 0)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feat, coords, counts):
+        from voxelnet_tpu.models.sparse_conv import sparse_conv3x3
+
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.cin * 27),
+                          (self.cout,), jnp.float32)
+        return sparse_conv3x3(feat.astype(self.dtype), coords, counts,
+                              kernel, bias, self.grid_dzyx,
+                              self.stride_d, self.pad_d)
+
+
 class _FoldBatchNorm(nn.Module):
     """Param-compatible stand-in for the block's nn.BatchNorm: per-C
     statistics shared across the depth slices folded into the channel
@@ -162,9 +196,21 @@ class ConvBlock3D(nn.Module):
     backend: str = "conv3d"
     # folded2d lowering: din is static (channel axis carries Din*Cin)
     din: int = 0
+    # sparse1 lowering: the static dense grid the sparse conv writes
+    grid_dzyx: tuple[int, int, int] = (0, 0, 0)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.backend == "sparse1":
+            feat, coords, counts = x
+            x = _SparseConv(self.cout, feat.shape[-1], self.stride_d,
+                            self.pad_d, grid_dzyx=self.grid_dzyx,
+                            dtype=self.dtype, name="Conv_0")(
+                feat, coords, counts)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="BatchNorm_0")(x)
+            return nn.relu(x).astype(self.dtype)
         if self.backend == "folded2d":
             cin = x.shape[-1] // self.din
             x = _FoldConv(self.cout, cin, self.din, self.stride_d,
@@ -207,9 +253,33 @@ class MiddleLayers(nn.Module):
     backend: str = "conv3d"
     # folded2d with a 4D (B, H, W, D*C) input needs the static D
     depth_in: int = 0
+    # sparse1 (voxel-table input) needs the full static (H, W) too
+    grid_hw: tuple[int, int] = (0, 0)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.backend == "sparse1":
+            # x is the (voxelwise (B,K,C), coords, counts) tuple — block 1
+            # runs sparsely off the voxel table; its dense output feeds
+            # blocks 2-3 as plain conv3d
+            if self.depth_in <= 0 or min(self.grid_hw) <= 0:
+                raise ValueError(
+                    "MiddleLayers(backend='sparse1') needs depth_in and "
+                    "grid_hw (the static grid D, H, W)")
+            feat, _, _ = x
+            b = feat.shape[0]
+            h, w = self.grid_hw
+            din = self.depth_in
+            cout, stride_d, pad_d = _BLOCKS[0]
+            x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
+                            backend="sparse1",
+                            grid_dzyx=(din, h, w))(x, train)
+            din = _depth_out(din, stride_d, pad_d)
+            for cout, stride_d, pad_d in _BLOCKS[1:]:
+                x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
+                                backend="conv3d")(x, train)
+            x = x.transpose(0, 2, 3, 4, 1)
+            return x.reshape(b, h, w, -1)
         if self.backend == "folded2d":
             if x.ndim == 5:  # accept the 5D layout too; fold it here
                 b, d, h, w, c = x.shape

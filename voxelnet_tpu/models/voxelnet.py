@@ -76,7 +76,16 @@ class VoxelNet(nn.Module):
             dtype=self.dtype, bn_over_padding=self.bn_over_padding,
             name="feature_net")(features, counts, train)
         folded = self.middle_backend == "folded2d"
-        if folded:
+        if self.middle_backend == "sparse1":
+            # block 1 consumes the voxel table directly — the C=128 dense
+            # grid (and its scatter) never exists in this graph
+            if self.spatial_shard:
+                raise ValueError(
+                    "middle_backend='sparse1' does not partition over "
+                    "the spatial 'model' axis — use 'conv3d' (or 'auto') "
+                    "when num_model_shards > 1")
+            dense = (voxelwise, coords, counts)
+        elif folded:
             dense = scatter_to_dense_folded(
                 voxelwise, coords, counts, self.grid_dzyx)
         else:
@@ -91,6 +100,7 @@ class VoxelNet(nn.Module):
             dense = jax.lax.with_sharding_constraint(dense, spec)
         bev = MiddleLayers(dtype=self.dtype, backend=self.middle_backend,
                            depth_in=self.grid_dzyx[0],
+                           grid_hw=self.grid_dzyx[1:],
                            name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
@@ -109,17 +119,26 @@ class Detections(NamedTuple):
 
 def resolve_middle_backend(config: VoxelNetConfig) -> str:
     """Resolve data.middle_backend. 'auto' picks the measured winner
-    (BASELINE.md MFU ladder): 'conv3d' — on v5e the alternate exact
+    (BASELINE.md MFU ladder): 'conv3d' — on v5e the alternate dense
     lowerings lose (folded2d pays its Din/3 FLOP multiplier: train 23.5
     vs 28.9 f/s @B8, and its (B,H,W,D*C) activations OOM at the B24
-    inference sweet spot; tap2d rows recorded in the ladder). The
-    explicit knobs stay for other grids/hardware."""
+    inference sweet spot; tap2d rows recorded in the ladder). 'sparse1'
+    (block 1 off the voxel table, models/sparse_conv.py) is pending its
+    on-hardware measurement and is spatial-shard-incompatible, so 'auto'
+    never selects it yet. The explicit knobs stay for other
+    grids/hardware."""
     configured = config.data.middle_backend
-    if configured not in ("auto", "conv3d", "folded2d", "tap2d"):
+    if configured not in ("auto", "conv3d", "folded2d", "tap2d",
+                          "sparse1"):
         raise ValueError(
             f"data.middle_backend={configured!r} — expected one of "
-            "'auto', 'conv3d', 'folded2d', 'tap2d' (a typo would "
-            "silently run the conv3d path)")
+            "'auto', 'conv3d', 'folded2d', 'tap2d', 'sparse1' (a typo "
+            "would silently run the conv3d path)")
+    if configured == "sparse1" and config.system.num_model_shards > 1:
+        raise ValueError(
+            "data.middle_backend='sparse1' does not partition over the "
+            "spatial 'model' axis — use 'conv3d' (or 'auto') when "
+            "num_model_shards > 1")
     if configured != "auto":
         return configured
     return "conv3d"
@@ -251,7 +270,9 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
                 points, num_points, spec, config.data.max_voxels,
                 variables["params"]["feature_net"],
                 variables["batch_stats"]["feature_net"])
-        if middle_backend == "folded2d":
+        if middle_backend == "sparse1":
+            dense = (vw, coords, counts)
+        elif middle_backend == "folded2d":
             dense = scatter_to_dense_folded(
                 vw, coords, counts, config.object.grid_size)
         else:
@@ -261,7 +282,8 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
                 indices_sorted=config.data.scatter_hints)
         dtype = jnp.dtype(config.train.compute_dtype)
         bev = MiddleLayers(dtype=dtype, backend=middle_backend,
-                           depth_in=config.object.grid_size[0]).apply(
+                           depth_in=config.object.grid_size[0],
+                           grid_hw=tuple(config.object.grid_size[1:])).apply(
             {"params": variables["params"]["middle"],
              "batch_stats": variables["batch_stats"]["middle"]},
             dense, False)
