@@ -25,6 +25,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from voxelnet_tpu.cli.train import _apply_platform_override
+
+_apply_platform_override()
+
 import jax
 import jax.numpy as jnp
 
