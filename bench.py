@@ -137,8 +137,9 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
                 dense = scatter_to_dense_folded(
                     vw, coords, counts, config.object.grid_size)
             else:
-                dense = scatter_to_dense(vw, coords, counts,
-                                         config.object.grid_size)
+                dense = scatter_to_dense(
+                    vw, coords, counts, config.object.grid_size,
+                    indices_sorted=config.data.scatter_hints)
             if stage == "dense":
                 return dense.sum().astype(jnp.float32) * 0.0
             bev = MiddleLayers(

@@ -37,19 +37,23 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=6,
                     help="timed epochs (one extra warmup epoch runs first)")
-    ap.add_argument("--host-vox", default="native",
-                    choices=("off", "numpy", "native"))
-    ap.add_argument("--host-targets", default="on", choices=("on", "off"),
-                    help="off = assign targets on device (ships tiny "
-                         "gt_boxes instead of ~20 MB/batch of target maps "
-                         "— the lever that matters on a thin H2D link)")
+    ap.add_argument("--host-vox", default="off",
+                    choices=("off", "numpy", "native"),
+                    help="default matches the shipped config (device "
+                         "voxelize): host buffers are ~116 MB/batch8 and "
+                         "lose on a thin H2D link (BASELINE.md)")
+    ap.add_argument("--host-targets", default="off", choices=("on", "off"),
+                    help="off (default, the shipped config) = assign "
+                         "targets on device: ships tiny gt_boxes instead "
+                         "of ~20 MB/batch of target maps — the lever "
+                         "that matters on a thin H2D link")
     ap.add_argument("--workers", type=int, default=None,
                     help="pipeline worker threads (default: train config)")
     args = ap.parse_args()
 
-    if os.environ.get("VOXELNET_PLATFORM"):
-        import jax
-        jax.config.update("jax_platforms", os.environ["VOXELNET_PLATFORM"])
+    from voxelnet_tpu.cli.train import _apply_platform_override
+
+    _apply_platform_override()
     import jax
 
     from voxelnet_tpu.config import get_config

@@ -77,9 +77,7 @@ def main():
     rng = np.random.default_rng(0)
     feat = jnp.asarray(rng.standard_normal((B, K, C)), jnp.bfloat16)
     # unique coords per frame (sorted linear ids, like the voxelizer's)
-    lin = np.sort(rng.choice(D * H * W, size=(B, K), replace=False,
-                             axis=-1) if False else
-                  np.stack([rng.choice(D * H * W, K, replace=False)
+    lin = np.sort(np.stack([rng.choice(D * H * W, K, replace=False)
                             for _ in range(B)]))
     crd = np.stack([lin // (H * W), (lin // W) % H, lin % W], axis=-1)
     coords = jnp.asarray(crd, jnp.int32)

@@ -160,7 +160,10 @@ def sparse_b(feat, coords, counts, kernel, bias, grid_dzyx, k_out):
         # 2. stream-compact active flat ids into a static (k_out,) list
         pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
         pos = jnp.where(flat > 0, pos, k_out)
-        ids = jnp.full((k_out,), Do * H * W, jnp.int32).at[pos].set(
+        # inactive slots get DISTINCT out-of-range ids (base + slot) so
+        # the unique_indices claim on the final scatter stays sound —
+        # same trick as models/sparse_conv.py and scatter_to_dense
+        ids = (Do * H * W + jnp.arange(k_out, dtype=jnp.int32)).at[pos].set(
             jnp.arange(Do * H * W, dtype=jnp.int32), mode="drop")
         # 3. input row-index grid
         idx = jnp.full((D * H * W,), -1, jnp.int32).at[li].set(

@@ -30,8 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _load_batch(config, batch):
     from bench import load_frames
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec
 
-    return load_frames(config.data.max_points, batch)[0]
+    # same workload as bench.py / the production pipeline: grid crop
+    # before the static cap when data.crop_to_grid (default on)
+    spec = (VoxelGridSpec.from_object_config(config.object)
+            if config.data.crop_to_grid else None)
+    return load_frames(config.data.max_points, batch, spec=spec)[0]
 
 
 def _sync(out):

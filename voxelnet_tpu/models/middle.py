@@ -207,18 +207,14 @@ class ConvBlock3D(nn.Module):
                             self.pad_d, grid_dzyx=self.grid_dzyx,
                             dtype=self.dtype, name="Conv_0")(
                 feat, coords, counts)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name="BatchNorm_0")(x)
-            return nn.relu(x).astype(self.dtype)
-        if self.backend == "folded2d":
+        elif self.backend == "folded2d":
             cin = x.shape[-1] // self.din
             x = _FoldConv(self.cout, cin, self.din, self.stride_d,
                           self.pad_d, dtype=self.dtype, name="Conv_0")(x)
             x = _FoldBatchNorm(self.cout, name="BatchNorm_0")(
                 x, use_running_average=not train)
             return nn.relu(x).astype(self.dtype)
-        if self.backend == "tap2d":
+        elif self.backend == "tap2d":
             x = _TapConv(self.cout, x.shape[-1], self.stride_d,
                          self.pad_d, dtype=self.dtype, name="Conv_0")(x)
         else:
@@ -274,7 +270,6 @@ class MiddleLayers(nn.Module):
             x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
                             backend="sparse1",
                             grid_dzyx=(din, h, w))(x, train)
-            din = _depth_out(din, stride_d, pad_d)
             for cout, stride_d, pad_d in _BLOCKS[1:]:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
                                 backend="conv3d")(x, train)

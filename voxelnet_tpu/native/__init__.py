@@ -35,7 +35,10 @@ def build(force: bool = False) -> str:
     stale = (not os.path.exists(_LIB)
              or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
     if force or stale:
-        tmp = _LIB + ".tmp"
+        # per-process tmp name: concurrent builders (multi-host tests, a
+        # trainer + a CLI tool on a fresh checkout) each write their own
+        # file; the os.replace below is the only shared step and is atomic
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
              "-o", tmp, _SRC],

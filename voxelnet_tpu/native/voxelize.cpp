@@ -31,6 +31,23 @@
 #include <cstring>
 #include <vector>
 
+namespace {
+
+// floor-bin one coordinate and range-check BEFORE the int cast: a
+// float->int64 cast of NaN/inf/out-of-range values is undefined behavior
+// in C++ (the NumPy twin's .astype is implementation-defined and drops
+// such points via its bounds check); comparing in float first is safe
+// for any input and agrees with the twin on every in-range value.
+inline bool bin_coord(float p, float off, float vs, int32_t dim,
+                      int64_t* out) {
+  const float f = std::floor((p + off) / vs);  // float32 add + divide
+  if (!(f >= 0.0f && f < (float)dim)) return false;  // NaN -> false
+  *out = (int64_t)f;
+  return true;
+}
+
+}  // namespace
+
 extern "C" {
 
 // points: (n, 4) float32 [x, y, z, reflectance]
@@ -65,11 +82,10 @@ int voxelnet_voxelize_f32(
   keys.reserve((size_t)n);
   for (int64_t i = 0; i < n; ++i) {
     const float* p = points + i * 4;
-    // float32 add then float32 divide, exactly like the NumPy twin
-    int64_t vx = (int64_t)std::floor((p[0] + offx) / vsx);
-    int64_t vy = (int64_t)std::floor((p[1] + offy) / vsy);
-    int64_t vz = (int64_t)std::floor((p[2] + offz) / vsz);
-    if (vx < 0 || vx >= W || vy < 0 || vy >= H || vz < 0 || vz >= D)
+    int64_t vx, vy, vz;
+    if (!bin_coord(p[0], offx, vsx, W, &vx) ||
+        !bin_coord(p[1], offy, vsy, H, &vy) ||
+        !bin_coord(p[2], offz, vsz, D, &vz))
       continue;
     uint64_t linear = (uint64_t)((vz * H + vy) * W + vx);
     keys.push_back((linear << 24) | (uint64_t)i);
@@ -136,10 +152,10 @@ int64_t voxelnet_crop_f32(
   int64_t k = 0;
   for (int64_t i = 0; i < n; ++i) {
     const float* p = points + i * 4;
-    int64_t vx = (int64_t)std::floor((p[0] + offx) / vsx);
-    int64_t vy = (int64_t)std::floor((p[1] + offy) / vsy);
-    int64_t vz = (int64_t)std::floor((p[2] + offz) / vsz);
-    if (vx < 0 || vx >= W || vy < 0 || vy >= H || vz < 0 || vz >= D)
+    int64_t vx, vy, vz;
+    if (!bin_coord(p[0], offx, vsx, W, &vx) ||
+        !bin_coord(p[1], offy, vsy, H, &vy) ||
+        !bin_coord(p[2], offz, vsz, D, &vz))
       continue;
     std::memcpy(out_points + k * 4, p, 4 * sizeof(float));
     ++k;
