@@ -88,3 +88,29 @@ def test_spatial_sharding_matches_unsharded(tiny_config, tiny_batch):
                                np.asarray(out_sharded[0]), atol=2e-2)
     np.testing.assert_allclose(np.asarray(out_plain[1]),
                                np.asarray(out_sharded[1]), atol=2e-2)
+
+
+def test_sparse1_data_parallel_train_step(tiny_config, tiny_batch):
+    """sparse1 rejects spatial 'model' sharding by design, but plain
+    batch data-parallelism must work: the vmapped per-frame scatter-adds
+    partition cleanly over the 'data' axis."""
+    import dataclasses
+
+    from voxelnet_tpu.training import create_train_state, make_train_step
+    from voxelnet_tpu.training.optim import make_optimizer
+
+    cfg = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="sparse1"))
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(cfg, tx, jax.random.key(0))
+    step = make_train_step(cfg, tx, donate=False)
+    _, m_single = step(state, tiny_batch)
+
+    mesh = make_mesh(num_data=2, num_model=1)
+    with jax.set_mesh(mesh):
+        state2 = create_train_state(cfg, tx, jax.random.key(0))
+        step2 = make_train_step(cfg, tx, donate=False)
+        _, m_mesh = step2(state2, shard_batch(mesh, tiny_batch))
+
+    assert float(m_mesh["loss"]) == pytest.approx(
+        float(m_single["loss"]), rel=2e-2)
