@@ -181,3 +181,47 @@ def test_sparse1_rejects_model_sharding(tiny_config):
                                    num_model_shards=2))
     with pytest.raises(ValueError, match="sparse1"):
         resolve_middle_backend(cfg)
+
+
+def test_fused_vfe_feeds_sparse1(tiny_config, tiny_batch):
+    """The production inference combo once both backends are selected:
+    fused voxelize+VFE kernel (interpret mode on CPU) -> sparse1 middle.
+    The kernel's (voxelwise, coords, counts) table is exactly what the
+    sparse block-1 consumes; its output must agree with the XLA
+    voxelize + dense conv3d middle."""
+    import jax.numpy as jnp
+
+    from voxelnet_tpu.kernels.vfe_fused import voxelize_vfe_fused
+    from voxelnet_tpu.models.vfe import FeatureLearningNet
+    from voxelnet_tpu.models.voxelnet import init_params
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+
+    cfg = tiny_config
+    spec = VoxelGridSpec.from_object_config(cfg.object)
+    variables = init_params(cfg, jax.random.key(0))
+    fln_params = variables["params"]["feature_net"]
+    fln_stats = variables["batch_stats"]["feature_net"]
+    mid = {"params": variables["params"]["middle"],
+           "batch_stats": variables["batch_stats"]["middle"]}
+    points = jnp.asarray(tiny_batch["points"])
+    num_points = jnp.asarray(tiny_batch["num_points"])
+    d, hh, ww = cfg.object.grid_size
+
+    vox = voxelize_batch_jax(points, num_points, spec,
+                             cfg.data.max_voxels, "xla")
+    vw = FeatureLearningNet(dtype=jnp.bfloat16).apply(
+        {"params": fln_params, "batch_stats": fln_stats},
+        vox.features, vox.counts, train=False)
+    dense = scatter_to_dense(vw, vox.coords, vox.counts, (d, hh, ww))
+    want = MiddleLayers(dtype=jnp.bfloat16).apply(mid, dense, False)
+
+    fvw, fcoords, fcounts = voxelize_vfe_fused(
+        points, num_points, spec, cfg.data.max_voxels,
+        fln_params, fln_stats, block_voxels=64, interpret=True)
+    got = MiddleLayers(dtype=jnp.bfloat16, backend="sparse1", depth_in=d,
+                       grid_hw=(hh, ww)).apply(
+        mid, (fvw, fcoords, fcounts), False)
+
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
