@@ -171,16 +171,62 @@ def test_full_model_sparse1_equivalence(tiny_config, tiny_batch):
                                    rtol=0.05, atol=0.05)
 
 
-def test_sparse1_rejects_model_sharding(tiny_config):
-    from voxelnet_tpu.models.voxelnet import resolve_middle_backend
+def test_sparse1_spatial_sharding_matches_unsharded(tiny_config,
+                                                    tiny_batch):
+    """sparse1 under W-axis 'model' sharding: block-1's shard_map
+    computes each shard's W slab halo-free from the replicated voxel
+    table (sparse_conv3x3_sharded); the full forward must match the
+    unsharded sparse1 (and thus conv3d) graph."""
+    import jax.numpy as jnp
 
-    cfg = tiny_config.replace(
-        data=dataclasses.replace(tiny_config.data,
-                                 middle_backend="sparse1"),
-        system=dataclasses.replace(tiny_config.system,
-                                   num_model_shards=2))
-    with pytest.raises(ValueError, match="sparse1"):
-        resolve_middle_backend(cfg)
+    from voxelnet_tpu.models.voxelnet import build_model, init_params
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+    from voxelnet_tpu.parallel import make_mesh
+
+    cfg = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="sparse1"))
+    spec = VoxelGridSpec.from_object_config(cfg.object)
+    variables = init_params(cfg, jax.random.key(0))
+    vox = voxelize_batch_jax(
+        jnp.asarray(tiny_batch["points"]),
+        jnp.asarray(tiny_batch["num_points"]), spec, cfg.data.max_voxels)
+
+    plain = build_model(cfg)
+    out_plain = jax.jit(
+        lambda v, f, c, n: plain.apply(v, f, c, n, train=False)
+    )(variables, vox.features, vox.coords, vox.counts)
+
+    cfg_sharded = cfg.replace(system=dataclasses.replace(
+        cfg.system, num_data_shards=2, num_model_shards=2))
+    sharded = build_model(cfg_sharded)
+    assert sharded.middle_backend == "sparse1" and sharded.num_model == 2
+    mesh = make_mesh(num_data=2, num_model=2)
+    with jax.set_mesh(mesh):
+        out_sharded = jax.jit(
+            lambda v, f, c, n: sharded.apply(v, f, c, n, train=False)
+        )(variables, vox.features, vox.coords, vox.counts)
+
+    np.testing.assert_allclose(np.asarray(out_plain[0]),
+                               np.asarray(out_sharded[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_plain[1]),
+                               np.asarray(out_sharded[1]), atol=2e-2)
+
+
+def test_sparse_conv_w_window_covers_grid():
+    """Concatenating per-window outputs reproduces the full-grid conv
+    (the spatial-sharding unit, without a mesh)."""
+    feats, coords, counts = _table(seed=5)
+    rng = np.random.default_rng(6)
+    kernel = jnp.asarray(
+        rng.normal(size=(3, 3, 3, C, 8)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    full = sparse_conv3x3(feats, coords, counts, kernel, bias,
+                          (D, H, W), 2, 1)
+    parts = [sparse_conv3x3(feats, coords, counts, kernel, bias,
+                            (D, H, W), 2, 1, w_window=(x0, W // 4))
+             for x0 in range(0, W, W // 4)]
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(parts, axis=3)),
+                               np.asarray(full), rtol=1e-5, atol=1e-5)
 
 
 def test_fused_vfe_feeds_sparse1(tiny_config, tiny_batch):

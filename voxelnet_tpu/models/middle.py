@@ -6,7 +6,7 @@ Same topology as the reference middle stack (voxelnet/model.py:206-210,
 channel axis. TPU-native: NDHWC layout, bfloat16 compute, lowered straight
 to XLA convolutions.
 
-Three mathematically identical lowerings, selected by `backend`:
+Four mathematically identical lowerings, selected by `backend`:
 
   * 'conv3d'   — plain XLA Conv3D over the (B, D, H, W, C) grid.
   * 'folded2d' — the depth axis lives in the channel axis: each Conv3D
@@ -139,15 +139,24 @@ class _SparseConv(nn.Module):
     pad_d: int
     grid_dzyx: tuple[int, int, int] = (0, 0, 0)
     dtype: jnp.dtype = jnp.bfloat16
+    # spatial sharding: partition the output W axis over `num_model`
+    # 'model' shards via shard_map (sparse_conv3x3_sharded); 1 = off
+    num_model: int = 1
 
     @nn.compact
     def __call__(self, feat, coords, counts):
-        from voxelnet_tpu.models.sparse_conv import sparse_conv3x3
+        from voxelnet_tpu.models.sparse_conv import (sparse_conv3x3,
+                                                     sparse_conv3x3_sharded)
 
         kernel = self.param("kernel", torch_kernel_init,
                             (3, 3, 3, self.cin, self.cout), jnp.float32)
         bias = self.param("bias", torch_bias_init(self.cin * 27),
                           (self.cout,), jnp.float32)
+        if self.num_model > 1:
+            return sparse_conv3x3_sharded(
+                feat.astype(self.dtype), coords, counts, kernel, bias,
+                self.grid_dzyx, self.stride_d, self.pad_d,
+                num_model=self.num_model)
         return sparse_conv3x3(feat.astype(self.dtype), coords, counts,
                               kernel, bias, self.grid_dzyx,
                               self.stride_d, self.pad_d)
@@ -198,6 +207,8 @@ class ConvBlock3D(nn.Module):
     din: int = 0
     # sparse1 lowering: the static dense grid the sparse conv writes
     grid_dzyx: tuple[int, int, int] = (0, 0, 0)
+    # sparse1 spatial sharding: 'model' shards of the output W axis
+    num_model: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -205,8 +216,8 @@ class ConvBlock3D(nn.Module):
             feat, coords, counts = x
             x = _SparseConv(self.cout, feat.shape[-1], self.stride_d,
                             self.pad_d, grid_dzyx=self.grid_dzyx,
-                            dtype=self.dtype, name="Conv_0")(
-                feat, coords, counts)
+                            dtype=self.dtype, num_model=self.num_model,
+                            name="Conv_0")(feat, coords, counts)
         elif self.backend == "folded2d":
             cin = x.shape[-1] // self.din
             x = _FoldConv(self.cout, cin, self.din, self.stride_d,
@@ -251,6 +262,8 @@ class MiddleLayers(nn.Module):
     depth_in: int = 0
     # sparse1 (voxel-table input) needs the full static (H, W) too
     grid_hw: tuple[int, int] = (0, 0)
+    # sparse1 spatial sharding of the output W axis ('model' shards)
+    num_model: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -269,7 +282,8 @@ class MiddleLayers(nn.Module):
             cout, stride_d, pad_d = _BLOCKS[0]
             x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
                             backend="sparse1",
-                            grid_dzyx=(din, h, w))(x, train)
+                            grid_dzyx=(din, h, w),
+                            num_model=self.num_model)(x, train)
             for cout, stride_d, pad_d in _BLOCKS[1:]:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
                                 backend="conv3d")(x, train)

@@ -51,7 +51,8 @@ _OFFSETS = tuple((kd, ky, kx) for kd in range(3) for ky in range(3)
 def sparse_conv3x3(feat: jnp.ndarray, coords: jnp.ndarray,
                    counts: jnp.ndarray, kernel: jnp.ndarray,
                    bias: jnp.ndarray, grid_dzyx, stride_d: int,
-                   pad_d: int, acc_dtype=jnp.float32) -> jnp.ndarray:
+                   pad_d: int, acc_dtype=jnp.float32,
+                   w_window=None) -> jnp.ndarray:
     """Exact 3x3x3 / stride (stride_d, 1, 1) / pad (pad_d, 1, 1) conv of
     the zero-backed sparse voxel table.
 
@@ -61,14 +62,20 @@ def sparse_conv3x3(feat: jnp.ndarray, coords: jnp.ndarray,
     counts: (B, K) int, 0 marks padding rows.
     kernel: (3, 3, 3, C, Cout) float32 (flax Conv layout).
     bias:   (Cout,) float32.
-    Returns (B, Do, H, W, Cout) in feat.dtype, Do = conv output depth —
-    bit-for-bit the sites an XLA Conv3D of scatter_to_dense(feat) fills,
-    to one bf16 ulp.
+    w_window: optional (x0, wloc) — compute only output columns
+            [x0, x0 + wloc) of the W axis (x0 may be traced; wloc is
+            static). The spatial-sharding unit: each 'model' shard
+            produces its own W slab from the full (replicated) voxel
+            table, so no halo exchange is needed (sparse_conv3x3_sharded).
+    Returns (B, Do, H, W, Cout) in feat.dtype — (B, Do, H, wloc, Cout)
+    under w_window — Do = conv output depth; bit-for-bit the sites an
+    XLA Conv3D of scatter_to_dense(feat) fills, to one bf16 ulp.
     """
     D, H, W = grid_dzyx
     do = (D + 2 * pad_d - 3) // stride_d + 1
     B, K, C = feat.shape
     cout = kernel.shape[-1]
+    x0, wloc = (0, W) if w_window is None else w_window
 
     live = counts > 0
     feat = jnp.where(live[..., None], feat, 0)
@@ -80,23 +87,68 @@ def sparse_conv3x3(feat: jnp.ndarray, coords: jnp.ndarray,
     z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
 
     def one(v, zz, yy, xx, lv):
-        out = jnp.zeros((do * H * W, cout), acc_dtype)
+        out = jnp.zeros((do * H * wloc, cout), acc_dtype)
         for o, (kd, ky, kx) in enumerate(_OFFSETS):
             num = zz + pad_d - kd
             oz = num // stride_d
             oy = yy + 1 - ky
-            ox = xx + 1 - kx
+            ox = xx + 1 - kx - x0
             ok = (lv & (num % stride_d == 0) & (oz >= 0) & (oz < do)
-                  & (oy >= 0) & (oy < H) & (ox >= 0) & (ox < W))
-            lin = (oz * H + oy) * W + ox
+                  & (oy >= 0) & (oy < H) & (ox >= 0) & (ox < wloc))
+            lin = (oz * H + oy) * wloc + ox
             # invalid rows -> distinct ids past the buffer: dropped, and
             # uniqueness stays claimable for the valid ones
             lin = jnp.where(ok, lin,
-                            do * H * W + jnp.arange(K, dtype=lin.dtype))
+                            do * H * wloc + jnp.arange(K, dtype=lin.dtype))
             out = out.at[lin].add(v[:, o], mode="drop",
                                   unique_indices=True)
         return out
 
     out = jax.vmap(one)(vals, z, y, x, live)
     out = out + bias.astype(out.dtype)
-    return out.reshape(B, do, H, W, cout).astype(feat.dtype)
+    return out.reshape(B, do, H, wloc, cout).astype(feat.dtype)
+
+
+def sparse_conv3x3_sharded(feat: jnp.ndarray, coords: jnp.ndarray,
+                           counts: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray, grid_dzyx, stride_d: int,
+                           pad_d: int, num_model: int,
+                           model_axis: str = "model") -> jnp.ndarray:
+    """shard_map wrapper partitioning the OUTPUT grid's W axis over the
+    'model' mesh axis.
+
+    The voxel table is replicated along 'model', so each shard computes
+    the exact output columns it owns via `w_window` — a halo-free
+    formulation of the dense path's spatially-sharded Conv3D (there XLA
+    inserts halo exchanges; here the shard reads the rows it needs from
+    its replicated table copy). The (C -> 27*Cout) matmul is replicated
+    per model shard (~7 GFLOP/frame — noise next to the dense conv it
+    replaces); the scatter volume divides by num_model.
+
+    Partial-manual: only `model_axis` is manual (`axis_names`); the
+    batch ('data'/'dcn') axes stay automatic, so GSPMD shards the batch
+    dim orthogonally and tiny tracing batches (e.g. init's B=1) need no
+    divisibility. Uses the ambient mesh (`jax.set_mesh`), like the
+    sharding constraints everywhere else in models/.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    W = grid_dzyx[2]
+    if W % num_model:
+        raise ValueError(
+            f"W={W} must divide by num_model_shards={num_model} for the "
+            "sparse1 spatial sharding")
+    wloc = W // num_model
+
+    def local(f, c, n, k, b):
+        x0 = jax.lax.axis_index(model_axis) * wloc
+        return sparse_conv3x3(f, c, n, k, b, grid_dzyx, stride_d, pad_d,
+                              w_window=(x0, wloc))
+
+    return jax.shard_map(
+        local,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(None, None, None, model_axis, None),
+        axis_names={model_axis},
+        check_vma=False,
+    )(feat, coords, counts, kernel, bias)

@@ -65,6 +65,9 @@ class VoxelNet(nn.Module):
     # voxelizer-ordered buffers (models/scatter.py docstring)
     scatter_hints: bool = False
     spatial_shard: bool = False
+    # 'model' mesh-axis size — the sparse1 shard_map needs it statically
+    # (the dense lowerings get it from the sharding constraints alone)
+    num_model: int = 1
     # partition entry for the batch axis in sharding constraints: 'data'
     # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
     # ('dcn', 'data', 'model') mesh
@@ -78,12 +81,11 @@ class VoxelNet(nn.Module):
         folded = self.middle_backend == "folded2d"
         if self.middle_backend == "sparse1":
             # block 1 consumes the voxel table directly — the C=128 dense
-            # grid (and its scatter) never exists in this graph
-            if self.spatial_shard:
-                raise ValueError(
-                    "middle_backend='sparse1' does not partition over "
-                    "the spatial 'model' axis — use 'conv3d' (or 'auto') "
-                    "when num_model_shards > 1")
+            # grid (and its scatter) never exists in this graph. Under
+            # spatial sharding, block-1's shard_map computes each 'model'
+            # shard's W slab from the replicated table (halo-free,
+            # sparse_conv3x3_sharded); blocks 2-3 then run as the usual
+            # W-sharded convs with XLA halo exchanges.
             dense = (voxelwise, coords, counts)
         elif folded:
             dense = scatter_to_dense_folded(
@@ -95,12 +97,21 @@ class VoxelNet(nn.Module):
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
-            spec = (P(self.batch_axes, None, "model", None) if folded
-                    else P(self.batch_axes, None, None, "model", None))
-            dense = jax.lax.with_sharding_constraint(dense, spec)
+            if self.middle_backend == "sparse1":
+                # the voxel table: batch-sharded, model-replicated
+                dense = jax.lax.with_sharding_constraint(
+                    dense, (P(self.batch_axes, None, None),
+                            P(self.batch_axes, None, None),
+                            P(self.batch_axes, None)))
+            else:
+                spec = (P(self.batch_axes, None, "model", None) if folded
+                        else P(self.batch_axes, None, None, "model", None))
+                dense = jax.lax.with_sharding_constraint(dense, spec)
         bev = MiddleLayers(dtype=self.dtype, backend=self.middle_backend,
                            depth_in=self.grid_dzyx[0],
                            grid_hw=self.grid_dzyx[1:],
+                           num_model=self.num_model if self.spatial_shard
+                           else 1,
                            name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
@@ -123,10 +134,10 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     lowerings lose (folded2d pays its Din/3 FLOP multiplier: train 23.5
     vs 28.9 f/s @B8, and its (B,H,W,D*C) activations OOM at the B24
     inference sweet spot; tap2d rows recorded in the ladder). 'sparse1'
-    (block 1 off the voxel table, models/sparse_conv.py) is pending its
-    on-hardware measurement and is spatial-shard-incompatible, so 'auto'
-    never selects it yet. The explicit knobs stay for other
-    grids/hardware."""
+    (block 1 off the voxel table, models/sparse_conv.py; under spatial
+    sharding each 'model' shard computes its W slab halo-free via
+    shard_map) is pending its on-hardware measurement, so 'auto' never
+    selects it yet. The explicit knobs stay for other grids/hardware."""
     configured = config.data.middle_backend
     if configured not in ("auto", "conv3d", "folded2d", "tap2d",
                           "sparse1"):
@@ -134,11 +145,6 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
             f"data.middle_backend={configured!r} — expected one of "
             "'auto', 'conv3d', 'folded2d', 'tap2d', 'sparse1' (a typo "
             "would silently run the conv3d path)")
-    if configured == "sparse1" and config.system.num_model_shards > 1:
-        raise ValueError(
-            "data.middle_backend='sparse1' does not partition over the "
-            "spatial 'model' axis — use 'conv3d' (or 'auto') when "
-            "num_model_shards > 1")
     if configured != "auto":
         return configured
     return "conv3d"
@@ -154,6 +160,7 @@ def build_model(config: VoxelNetConfig) -> VoxelNet:
         middle_backend=resolve_middle_backend(config),
         scatter_hints=config.data.scatter_hints,
         spatial_shard=config.system.num_model_shards > 1,
+        num_model=config.system.num_model_shards,
         batch_axes=("dcn", "data") if num_dcn > 1 else "data",
     )
 
