@@ -136,8 +136,12 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     inference sweet spot; tap2d rows recorded in the ladder). 'sparse1'
     (block 1 off the voxel table, models/sparse_conv.py; under spatial
     sharding each 'model' shard computes its W slab halo-free via
-    shard_map) is pending its on-hardware measurement, so 'auto' never
-    selects it yet. The explicit knobs stay for other grids/hardware."""
+    shard_map) measured 10.8 f/s on the middle stage vs conv3d's 87.1
+    (v5e, B8): its 27 per-offset scatter-adds hit XLA's TPU scatter
+    throughput (~10M rows/s — each (oz,oy,ox) row is a read-modify-write
+    dependency XLA serializes), drowning the MXU-filling matmul win, so
+    'auto' never selects it. The explicit knobs stay for exactness tests
+    and other grids/hardware."""
     configured = config.data.middle_backend
     if configured not in ("auto", "conv3d", "folded2d", "tap2d",
                           "sparse1"):
