@@ -269,12 +269,19 @@ def main(argv=None):
                              "targets"))
     ap.add_argument("--middle-backend", default=None,
                     choices=("auto", "conv3d", "folded2d", "tap2d",
-                             "sparse1"),
+                             "sparse1", "sparsebwd"),
                     help="override data.middle_backend (conv3d = plain "
                          "Conv3D; folded2d = depth-folded Conv2D; tap2d "
                          "= per-depth-tap batched Conv2D; sparse1 = "
                          "block 1 off the voxel table, no C=128 dense "
-                         "scatter)")
+                         "scatter; sparsebwd = conv3d forward + "
+                         "slice-gather sparse backward)")
+    ap.add_argument("--voxelizer-backend", default=None,
+                    choices=("auto", "xla", "gather", "pallas", "planar"),
+                    help="override data.voxelizer_backend for the "
+                         "in-graph table build (train stage; 'gather' = "
+                         "K contiguous (T,4) run-slice gathers instead "
+                         "of the per-point row scatter)")
     ap.add_argument("--class-name", default="Car",
                     choices=("Car", "Pedestrian", "Cyclist"))
     ap.add_argument("--host-targets", action="store_true",
@@ -304,8 +311,12 @@ def main(argv=None):
 
     from voxelnet_tpu.config import get_config
 
-    overrides = ({"data": {"middle_backend": args.middle_backend}}
-                 if args.middle_backend is not None else {})
+    data_over = {}
+    if args.middle_backend is not None:
+        data_over["middle_backend"] = args.middle_backend
+    if args.voxelizer_backend is not None:
+        data_over["voxelizer_backend"] = args.voxelizer_backend
+    overrides = {"data": data_over} if data_over else {}
     config = get_config(args.class_name, **overrides)
     made = _make_stage_fn(args.stage, config, args.host_targets,
                           args.vfe_backend, args.host_voxelize)

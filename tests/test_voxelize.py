@@ -142,6 +142,51 @@ def test_pallas_kernel_matches_xla(car_spec):
                                np.asarray(vp.features))
 
 
+def test_gather_backend_matches_xla(car_spec):
+    """The run-slice-gather table builder ('gather' backend — one
+    dynamic_slice of (T, 4) rows per voxel off the sorted stream) is
+    bit-equal to the XLA scatter path, including overflow drop."""
+    for seed, kmax in ((7, 2048), (8, 64)):
+        pts = _cloud(5000, seed=seed, spread=(seed == 7))
+        padded, n = pad_points(pts, 8192)
+        vx = jax.jit(
+            lambda p, n: voxelize_jax(p, n, car_spec, kmax, "xla")
+        )(padded, n)
+        vg = jax.jit(
+            lambda p, n: voxelize_jax(p, n, car_spec, kmax, "gather")
+        )(padded, n)
+        assert int(vx.num_voxels) == int(vg.num_voxels)
+        np.testing.assert_array_equal(np.asarray(vx.counts),
+                                      np.asarray(vg.counts))
+        np.testing.assert_array_equal(np.asarray(vx.coords),
+                                      np.asarray(vg.coords))
+        np.testing.assert_array_equal(np.asarray(vx.features),
+                                      np.asarray(vg.features))
+
+
+def test_planar_kernel_matches_xla(car_spec):
+    """The channel-planar run-copy table builder ('planar' backend,
+    interpret mode on CPU) is bit-equal to the XLA scatter path,
+    including overflow drop and non-multiple-of-block K."""
+    for seed, kmax in ((7, 2048), (8, 64)):
+        pts = _cloud(5000, seed=seed, spread=(seed == 7))
+        padded, n = pad_points(pts, 8192)
+        vx = jax.jit(
+            lambda p, n: voxelize_jax(p, n, car_spec, kmax, "xla")
+        )(padded, n)
+        vp = jax.jit(
+            lambda p, n: voxelize_jax(p, n, car_spec, kmax,
+                                      "planar_interpret")
+        )(padded, n)
+        assert int(vx.num_voxels) == int(vp.num_voxels)
+        np.testing.assert_array_equal(np.asarray(vx.counts),
+                                      np.asarray(vp.counts))
+        np.testing.assert_array_equal(np.asarray(vx.coords),
+                                      np.asarray(vp.coords))
+        np.testing.assert_array_equal(np.asarray(vx.features),
+                                      np.asarray(vp.features))
+
+
 def test_pallas_kernel_voxel_overflow(car_spec):
     """K > max_voxels: overflow voxels dropped identically in both paths."""
     pts = _cloud(5000, seed=8)

@@ -82,15 +82,21 @@ class DataConfig:
     crop_to_grid: bool = True
     # 'auto' currently resolves to 'xla' everywhere (the Pallas run-copy
     # kernel is correct but loses to XLA's scatters under Mosaic's lane
-    # padding — see ops/voxelize.resolve_backend); explicit
-    # 'xla' / 'pallas' / 'pallas_interpret' override.
+    # padding — see ops/voxelize.resolve_backend); explicit 'xla' /
+    # 'gather' (table built as K contiguous (T,4) run-slice gathers off
+    # the sorted stream instead of a per-point row scatter) / 'pallas' /
+    # 'pallas_interpret' override.
     voxelizer_backend: str = "auto"
     # inference VFE path: 'auto' | 'xla' | 'fused' — 'fused' runs the
     # single Pallas voxelize+VFE kernel (kernels/vfe_fused.py, 2.5x the
     # XLA stage on v5e); 'auto' selects it on TPU for unsharded graphs
     vfe_backend: str = "auto"
     # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d' | 'tap2d' |
-    # 'sparse1'. All are mathematically identical with one shared
+    # 'sparse1' | 'sparsebwd' (conv3d forward bit-identical, block-1
+    # backward via 27-site slice-gathers + MXU matmuls instead of the
+    # dense transposed-conv pair — training-path lever, see
+    # models/sparse_conv.conv3x3_sparsebwd).
+    # All are mathematically identical with one shared
     # parameter tree (models/middle.py): 'folded2d' = ONE block-banded
     # Conv2D with depth folded into channels (Din/3 x FLOPs, biggest
     # contractions); 'tap2d' = 3 depth-tap Conv2Ds over the merged

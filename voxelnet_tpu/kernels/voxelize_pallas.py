@@ -72,6 +72,101 @@ def _kernel(pts_ref, start_ref, table_ref):
     jax.lax.fori_loop(0, kmax, body, 0)
 
 
+# per-voxel lane stride of the planar kernel; one 128-lane tile
+_VSTRIDE = 128
+
+
+def _planar_kernel(pts_ref, start_ref, out_ref):
+    """Channel-planar run-copy: one (frame, voxel-block) step.
+
+    pts_ref:   (1, 4, NPAD) f32 — rows x,y,z,refl; points in lanes,
+               sorted by voxel id, zero lane tail so the last aligned
+               window read stays in bounds.
+    start_ref: (1, 1, V) i32 SMEM — per-voxel first-point index
+               (padding voxels point at the zero tail, so copying them
+               unconditionally plants zeros).
+    out_ref:   (1, 4, V * _VSTRIDE) f32 — lanes = voxel * 128 + slot.
+    """
+    V = start_ref.shape[2]
+    unroll = min(8, V)
+
+    def copy_run(v):
+        s = start_ref[0, 0, v]
+        sa = pl.multiple_of((s // _VSTRIDE) * _VSTRIDE, _VSTRIDE)
+        window = pts_ref[0, :, pl.ds(sa, 2 * _VSTRIDE)]     # (4, 256)
+        rolled = pltpu.roll(window, sa - s, 1)              # lane 0 = pt s
+        dst = pl.multiple_of(v * _VSTRIDE, _VSTRIDE)
+        out_ref[0, :, pl.ds(dst, _VSTRIDE)] = rolled[:, :_VSTRIDE]
+
+    def copy_u(i, _):
+        base = i * unroll
+        for u in range(unroll):
+            copy_run(base + u)
+        return 0
+
+    jax.lax.fori_loop(0, V // unroll, copy_u, 0)
+
+
+def build_voxel_table_planar(sorted_pts: jnp.ndarray,
+                             run_start: jnp.ndarray,
+                             max_voxels: int, T: int,
+                             interpret: bool = False,
+                             block_voxels: int = 128) -> jnp.ndarray:
+    """(B, N, 4) sorted points + (B, K) run starts -> (B, K, T, 4) tables.
+
+    The lane-packed fix for this file's header problem: points live in
+    LANES (one 128-lane tile per voxel), channels in sublanes, so the
+    per-voxel copy is a dense (4, 128) vector store instead of the
+    4-wide (T, 4) rows Mosaic pads 32x. One XLA slice+transpose restores
+    the (B, K, T, 4) layout the rest of the framework consumes — the
+    table build itself issues K aligned window-roll copies and ZERO
+    scatters. Same run-copy trick as the fused inference kernel
+    (kernels/vfe_fused.py), kept as a standalone differentiable-path
+    table builder for training (gradients never flow into the table, so
+    autodiff through the downstream VFE is untouched).
+
+    Rows past a voxel's count carry the next run's points and are zeroed
+    by `_finalize`'s mask, exactly like the other builders.
+
+    CAUTION (measured, BASELINE.md): the closing slice+transpose to
+    (B, K, T, 4) is a layout trap inside large graphs — XLA tiles the
+    (T, 4) minor dims to T(8,128), a 32x padding that added ~2.9 GB and
+    OOM'd the B8 train step. The planar (B, 4, K*128) output should be
+    consumed IN PLANAR SPACE (models/vfe_planar.py) for production;
+    this (B, K, T, 4) entry point exists for equivalence tests and
+    small graphs.
+    """
+    if T >= _VSTRIDE:
+        raise ValueError(f"points_per_voxel {T} must be < {_VSTRIDE}")
+    V = min(block_voxels, max_voxels)
+    if max_voxels % V:
+        raise ValueError(f"max_voxels {max_voxels} % block {V} != 0")
+    b, n, _ = sorted_pts.shape
+    npad = n + 2 * _VSTRIDE
+    planar = jnp.concatenate([
+        sorted_pts.transpose(0, 2, 1),
+        jnp.zeros((b, 4, npad - n), jnp.float32)], axis=2)
+
+    out = pl.pallas_call(
+        _planar_kernel,
+        grid=(b, max_voxels // V),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 4, max_voxels * _VSTRIDE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 4, npad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, V * _VSTRIDE),
+                               lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planar, run_start[:, None, :])
+    tab = out.reshape(b, 4, max_voxels, _VSTRIDE)
+    return tab[:, :, :, :T].transpose(0, 2, 3, 1)
+
+
 def build_voxel_table(sorted_pts: jnp.ndarray, run_start: jnp.ndarray,
                       max_voxels: int, T: int,
                       interpret: bool = False) -> jnp.ndarray:

@@ -162,6 +162,37 @@ class _SparseConv(nn.Module):
                               self.stride_d, self.pad_d)
 
 
+class _SparseBwdConv(nn.Module):
+    """Param-compatible stand-in for block-1's nn.Conv computing the
+    dense forward (scatter + XLA Conv3D — the measured-fastest forward)
+    with the sparse custom-VJP backward of
+    models/sparse_conv.conv3x3_sparsebwd: grad-input/grad-weight come
+    from 9 slice-gathers of the output cotangent at the K occupied
+    sites + two MXU matmuls instead of the dense transposed-conv pair.
+    Exact same parameters, shapes, init as the conv3d backend."""
+
+    cout: int
+    cin: int
+    stride_d: int
+    pad_d: int
+    grid_dzyx: tuple[int, int, int] = (0, 0, 0)
+    dtype: jnp.dtype = jnp.bfloat16
+    scatter_hints: bool = False
+
+    @nn.compact
+    def __call__(self, feat, coords, counts):
+        from voxelnet_tpu.models.sparse_conv import conv3x3_sparsebwd
+
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.cin * 27),
+                          (self.cout,), jnp.float32)
+        return conv3x3_sparsebwd(feat.astype(self.dtype), coords, counts,
+                                 kernel, bias, self.grid_dzyx,
+                                 self.stride_d, self.pad_d,
+                                 self.scatter_hints)
+
+
 class _FoldBatchNorm(nn.Module):
     """Param-compatible stand-in for the block's nn.BatchNorm: per-C
     statistics shared across the depth slices folded into the channel
@@ -209,10 +240,19 @@ class ConvBlock3D(nn.Module):
     grid_dzyx: tuple[int, int, int] = (0, 0, 0)
     # sparse1 spatial sharding: 'model' shards of the output W axis
     num_model: int = 1
+    # sparsebwd lowering: XLA scatter hints for its in-forward dense build
+    scatter_hints: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.backend == "sparse1":
+        if self.backend == "sparsebwd":
+            feat, coords, counts = x
+            x = _SparseBwdConv(self.cout, feat.shape[-1], self.stride_d,
+                               self.pad_d, grid_dzyx=self.grid_dzyx,
+                               dtype=self.dtype,
+                               scatter_hints=self.scatter_hints,
+                               name="Conv_0")(feat, coords, counts)
+        elif self.backend == "sparse1":
             feat, coords, counts = x
             x = _SparseConv(self.cout, feat.shape[-1], self.stride_d,
                             self.pad_d, grid_dzyx=self.grid_dzyx,
@@ -264,25 +304,29 @@ class MiddleLayers(nn.Module):
     grid_hw: tuple[int, int] = (0, 0)
     # sparse1 spatial sharding of the output W axis ('model' shards)
     num_model: int = 1
+    # sparsebwd: scatter hints for block-1's in-forward dense build
+    scatter_hints: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.backend == "sparse1":
+        if self.backend in ("sparse1", "sparsebwd"):
             # x is the (voxelwise (B,K,C), coords, counts) tuple — block 1
-            # runs sparsely off the voxel table; its dense output feeds
-            # blocks 2-3 as plain conv3d
+            # runs off the voxel table (sparse compute for sparse1, dense
+            # forward + sparse backward for sparsebwd); its dense output
+            # feeds blocks 2-3 as plain conv3d
             if self.depth_in <= 0 or min(self.grid_hw) <= 0:
                 raise ValueError(
-                    "MiddleLayers(backend='sparse1') needs depth_in and "
-                    "grid_hw (the static grid D, H, W)")
+                    f"MiddleLayers(backend={self.backend!r}) needs "
+                    "depth_in and grid_hw (the static grid D, H, W)")
             feat, _, _ = x
             b = feat.shape[0]
             h, w = self.grid_hw
             din = self.depth_in
             cout, stride_d, pad_d = _BLOCKS[0]
             x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                            backend="sparse1",
+                            backend=self.backend,
                             grid_dzyx=(din, h, w),
+                            scatter_hints=self.scatter_hints,
                             num_model=self.num_model)(x, train)
             for cout, stride_d, pad_d in _BLOCKS[1:]:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,

@@ -41,8 +41,11 @@ the 1.4M-site grid as well.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _OFFSETS = tuple((kd, ky, kx) for kd in range(3) for ky in range(3)
                  for kx in range(3))
@@ -107,6 +110,121 @@ def sparse_conv3x3(feat: jnp.ndarray, coords: jnp.ndarray,
     out = jax.vmap(one)(vals, z, y, x, live)
     out = out + bias.astype(out.dtype)
     return out.reshape(B, do, H, wloc, cout).astype(feat.dtype)
+
+
+def _conv3x3_dense(feat, coords, counts, kernel, bias, grid_dzyx,
+                   stride_d, pad_d, indices_sorted):
+    """Forward of the hybrid lowering: the measured-fastest dense path —
+    scatter_to_dense + XLA Conv3D, exactly what the 'conv3d' backend
+    runs (models/middle.py ConvBlock3D + models/scatter.py)."""
+    from voxelnet_tpu.models.scatter import scatter_to_dense
+
+    dense = scatter_to_dense(feat, coords, counts, grid_dzyx,
+                             indices_sorted=indices_sorted)
+    out = jax.lax.conv_general_dilated(
+        dense, kernel.astype(feat.dtype),
+        window_strides=(stride_d, 1, 1),
+        padding=((pad_d, pad_d), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out + bias.astype(out.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def conv3x3_sparsebwd(feat, coords, counts, kernel, bias, grid_dzyx,
+                      stride_d, pad_d, indices_sorted=False):
+    """Dense-forward / sparse-backward 3x3x3 conv of the voxel table.
+
+    Forward = the production dense path (scatter + XLA Conv3D — measured
+    fastest of every lowering tried, BASELINE.md MFU ladder). Backward
+    exploits that the conv INPUT is nonzero only at the K occupied
+    voxels: instead of the dense grad-input transposed-conv over the
+    D*H*W grid (25.6 ms/batch8 on v5e) + dense grad-weight correlation
+    (28.4 ms), it gathers the output cotangent at each voxel's 27
+    neighbor sites — 9 gathers of K contiguous (3, Cout) slices on a
+    zero-padded buffer (slice gathers sidestep XLA's ~10M rows/s TPU
+    scatter/row-op wall, scripts/probe_gather.py) — and contracts on
+    the MXU:
+
+        dfeat = G (B,K,27*Cout) @ W^T          (27*Cout -> Cin)
+        dW    = feat^T (Cin, B*K) @ G          (one MXU matmul)
+        dbias = sum(dout)
+
+    Same math as the dense VJP (different summation order; bf16 gathers,
+    f32 accumulation — tested against the dense path's autodiff grads in
+    tests/test_sparse_middle.py).
+    """
+    return _conv3x3_dense(feat, coords, counts, kernel, bias, grid_dzyx,
+                          stride_d, pad_d, indices_sorted)
+
+
+def _sparsebwd_fwd(feat, coords, counts, kernel, bias, grid_dzyx,
+                   stride_d, pad_d, indices_sorted):
+    out = _conv3x3_dense(feat, coords, counts, kernel, bias, grid_dzyx,
+                         stride_d, pad_d, indices_sorted)
+    return out, (feat, coords, counts, kernel)
+
+
+def _sparsebwd_bwd(grid_dzyx, stride_d, pad_d, indices_sorted, res, dout):
+    feat, coords, counts, kernel = res
+    D, H, W = grid_dzyx
+    B, K, cin = feat.shape
+    do = (D + 2 * pad_d - 3) // stride_d + 1
+    cout = kernel.shape[-1]
+
+    live = counts > 0
+    feat = jnp.where(live[..., None], feat, 0)
+
+    # zero-halo the cotangent so every (oz, oy, ox-1..ox+1) window lands
+    # in bounds; slab 0 along depth doubles as the dump for rows whose
+    # depth-stride parity says the tap doesn't reach (reads zeros)
+    dpad = jnp.pad(dout, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    flat = dpad.reshape(B, (do + 2) * (H + 2) * (W + 2), cout)
+
+    z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
+    slices = []
+    for kd in range(3):
+        num = z + pad_d - kd
+        # parity-invalid taps and out-of-range depths dump into the
+        # all-zero pad slabs (0 and do+1)
+        oz_pad = jnp.clip(jnp.where((num % stride_d == 0) & live,
+                                    num // stride_d + 1, 0), 0, do + 1)
+        for ky in range(3):
+            oy_pad = y + 2 - ky
+            base = (oz_pad * (H + 2) + oy_pad) * (W + 2) + x
+            base = jnp.where(live, base, 0)
+
+            def frame(f, b_):
+                return jax.vmap(lambda s: jax.lax.dynamic_slice(
+                    f, (s, 0), (3, cout)))(b_)
+
+            slices.append(jax.vmap(frame)(flat, base))
+    # (B, K, 9, 3, Cout); slice lane j covers ox = x-1+j = x+1-kx, so
+    # j = 2-kx -> flip to kx-ascending to match the o = (kd*3+ky)*3+kx
+    # order of the flattened weight matrix
+    g = jnp.stack(slices, axis=2)[:, :, :, ::-1, :]
+    g = g.reshape(B, K, 27 * cout)
+
+    wmat = jnp.transpose(kernel, (3, 0, 1, 2, 4)).reshape(cin, 27 * cout)
+    dfeat = jax.lax.dot_general(
+        g, wmat.astype(g.dtype),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dfeat = (dfeat * live[..., None]).astype(feat.dtype)
+
+    dw = jax.lax.dot_general(
+        feat.reshape(B * K, cin), g.reshape(B * K, 27 * cout),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (Cin, 27*Cout)
+    dw = dw.reshape(cin, 3, 3, 3, cout).transpose(1, 2, 3, 0, 4)
+    dbias = dout.astype(jnp.float32).sum(axis=(0, 1, 2, 3))
+
+    f0 = jax.dtypes.float0
+    return (dfeat,
+            np.zeros(coords.shape, f0), np.zeros(counts.shape, f0),
+            dw.astype(kernel.dtype), dbias)
+
+
+conv3x3_sparsebwd.defvjp(_sparsebwd_fwd, _sparsebwd_bwd)
 
 
 def sparse_conv3x3_sharded(feat: jnp.ndarray, coords: jnp.ndarray,

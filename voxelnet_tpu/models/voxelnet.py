@@ -79,7 +79,7 @@ class VoxelNet(nn.Module):
             dtype=self.dtype, bn_over_padding=self.bn_over_padding,
             name="feature_net")(features, counts, train)
         folded = self.middle_backend == "folded2d"
-        if self.middle_backend == "sparse1":
+        if self.middle_backend in ("sparse1", "sparsebwd"):
             # block 1 consumes the voxel table directly — the C=128 dense
             # grid (and its scatter) never exists in this graph. Under
             # spatial sharding, block-1's shard_map computes each 'model'
@@ -97,7 +97,7 @@ class VoxelNet(nn.Module):
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
-            if self.middle_backend == "sparse1":
+            if self.middle_backend in ("sparse1", "sparsebwd"):
                 # the voxel table: batch-sharded, model-replicated
                 dense = jax.lax.with_sharding_constraint(
                     dense, (P(self.batch_axes, None, None),
@@ -112,6 +112,7 @@ class VoxelNet(nn.Module):
                            grid_hw=self.grid_dzyx[1:],
                            num_model=self.num_model if self.spatial_shard
                            else 1,
+                           scatter_hints=self.scatter_hints,
                            name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
@@ -141,14 +142,32 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     throughput (~10M rows/s — each (oz,oy,ox) row is a read-modify-write
     dependency XLA serializes), drowning the MXU-filling matmul win, so
     'auto' never selects it. The explicit knobs stay for exactness tests
-    and other grids/hardware."""
+    and other grids/hardware.
+
+    'sparsebwd' keeps the conv3d FORWARD (scatter + dense Conv3D, bit
+    identical) and swaps block-1's BACKWARD for the slice-gather +
+    matmul VJP (models/sparse_conv.conv3x3_sparsebwd) — inference is
+    untouched, training skips the dense grad-input transposed conv and
+    grad-weight correlation. Measured on v5e it LOSES: per-voxel
+    dynamic_slice gathers serialize (scripts/probe_gather.py — 882 ms
+    for the window form, 55 ms for plain row gathers vs the 54 ms
+    dense pair), and the (B,K,27*64) gathered cotangent OOMs the B8
+    train step (18.7 GB HBM; 18.6 f/s at B4 vs conv3d's 29.7 at B8,
+    BASELINE.md). 'auto' never selects it. Not available under spatial
+    'model' sharding (the custom VJP has no halo-free shard_map form;
+    the dense path's XLA halo exchanges handle that case)."""
     configured = config.data.middle_backend
     if configured not in ("auto", "conv3d", "folded2d", "tap2d",
-                          "sparse1"):
+                          "sparse1", "sparsebwd"):
         raise ValueError(
             f"data.middle_backend={configured!r} — expected one of "
-            "'auto', 'conv3d', 'folded2d', 'tap2d', 'sparse1' (a typo "
-            "would silently run the conv3d path)")
+            "'auto', 'conv3d', 'folded2d', 'tap2d', 'sparse1', "
+            "'sparsebwd' (a typo would silently run the conv3d path)")
+    if configured == "sparsebwd" and config.system.num_model_shards > 1:
+        raise ValueError(
+            "data.middle_backend='sparsebwd' does not partition over "
+            "the spatial 'model' axis — use 'conv3d' (or 'auto') when "
+            "num_model_shards > 1")
     if configured != "auto":
         return configured
     return "conv3d"
@@ -281,7 +300,7 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
                 points, num_points, spec, config.data.max_voxels,
                 variables["params"]["feature_net"],
                 variables["batch_stats"]["feature_net"])
-        if middle_backend == "sparse1":
+        if middle_backend in ("sparse1", "sparsebwd"):
             dense = (vw, coords, counts)
         elif middle_backend == "folded2d":
             dense = scatter_to_dense_folded(
@@ -294,7 +313,8 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
         dtype = jnp.dtype(config.train.compute_dtype)
         bev = MiddleLayers(dtype=dtype, backend=middle_backend,
                            depth_in=config.object.grid_size[0],
-                           grid_hw=tuple(config.object.grid_size[1:])).apply(
+                           grid_hw=tuple(config.object.grid_size[1:]),
+                           scatter_hints=config.data.scatter_hints).apply(
             {"params": variables["params"]["middle"],
              "batch_stats": variables["batch_stats"]["middle"]},
             dense, False)

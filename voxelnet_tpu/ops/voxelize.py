@@ -317,6 +317,35 @@ def _finalize(table, counts, coords, num_voxels, T: int,
     return Voxels(features, coords, counts, num_voxels, num_voxels_raw)
 
 
+def _build_table_gather(sorted_pts: jnp.ndarray, run_start: jnp.ndarray,
+                        T: int) -> jnp.ndarray:
+    """(B, N, 4) sorted points + (B, K) run starts -> (B, K, T, 4) tables
+    via ONE gather of K contiguous (T, 4) slices per frame.
+
+    Points of a voxel occupy one contiguous run in the sorted stream, so
+    table[k] = sorted[start_k : start_k + T] — rows past the voxel's
+    count carry the NEXT run's points and are zeroed by `_finalize`'s
+    mask (the same epilogue the Pallas run-copy relies on). Built to
+    sidestep XLA's TPU scatter throughput wall (~10M rows/s,
+    probe_scatter.py) by issuing K slices instead of N rows — but
+    MEASURED SLOWER on v5e: per-voxel dynamic_slice fetches serialize
+    (32.6 vs the scatter's 29.7 ms/batch8 standalone; 18.6 vs 29.7 f/s
+    in the full train step, BASELINE.md). Kept as an equivalence-tested
+    backend; 'auto' never selects it.
+    """
+    b, _, _ = sorted_pts.shape
+    # zero tail: padding voxels' run_start = N, and a run starting at
+    # N - 1 still reads T rows
+    padded = jnp.concatenate(
+        [sorted_pts, jnp.zeros((b, T, 4), jnp.float32)], axis=1)
+
+    def frame(flat, starts):
+        return jax.vmap(lambda s: jax.lax.dynamic_slice(
+            flat, (s, 0), (T, 4)))(starts)
+
+    return jax.vmap(frame)(padded, run_start)
+
+
 def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
                  spec: VoxelGridSpec, max_voxels: int,
                  backend: str = "xla") -> Voxels:
@@ -328,8 +357,13 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
       spec: static grid parameters.
       max_voxels: K_max, static.
       backend: 'xla' — table/coords/counts built with XLA scatters;
+        'gather' — table built as one gather of K contiguous (T, 4)
+        run slices (`_build_table_gather`);
         'pallas' — batched Pallas DMA run-copy kernel (TPU);
-        'pallas_interpret' — same kernel interpreted (tests on CPU).
+        'pallas_interpret' — same kernel interpreted (tests on CPU);
+        'planar' / 'planar_interpret' — channel-planar Pallas run-copy
+        (points in lanes, kernels/voxelize_pallas.py
+        build_voxel_table_planar) + one XLA slice/transpose.
 
     Returns Voxels with features (K_max, T, 7), coords (K_max, 3),
     counts (K_max,) and scalar num_voxels. Padding voxels have coords
@@ -341,7 +375,8 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
     or one Pallas DMA block-copy per voxel. Everything static-shape.
     """
     T = spec.max_points_per_voxel
-    if backend in ("pallas", "pallas_interpret"):
+    if backend in ("pallas", "pallas_interpret", "gather",
+                   "planar", "planar_interpret"):
         batched = voxelize_batch_jax(points[None], num_points[None],
                                      spec, max_voxels, backend)
         return Voxels(batched.features[0], batched.coords[0],
@@ -411,17 +446,28 @@ def voxelize_batch_jax(points: jnp.ndarray, num_points: jnp.ndarray,
         return jax.vmap(
             lambda p, n: voxelize_jax(p, n, spec, max_voxels, backend)
         )(points, num_points)
-    if backend not in ("pallas", "pallas_interpret"):
+    if backend not in ("pallas", "pallas_interpret", "gather",
+                       "planar", "planar_interpret"):
         raise ValueError(f"unknown voxelizer backend {backend!r}")
-
-    from voxelnet_tpu.kernels.voxelize_pallas import build_voxel_table
 
     T = spec.max_points_per_voxel
     (sorted_pts, run_start, counts, coords, num_voxels,
      num_voxels_raw) = jax.vmap(
         lambda p, n: _pallas_prepare(p, n, spec, max_voxels)
     )(points, num_points)
-    table = build_voxel_table(
-        sorted_pts, run_start, max_voxels, T,
-        interpret=(backend == "pallas_interpret"))
+    if backend == "gather":
+        table = _build_table_gather(sorted_pts, run_start, T)
+    elif backend in ("planar", "planar_interpret"):
+        from voxelnet_tpu.kernels.voxelize_pallas import (
+            build_voxel_table_planar)
+
+        table = build_voxel_table_planar(
+            sorted_pts, run_start, max_voxels, T,
+            interpret=(backend == "planar_interpret"))
+    else:
+        from voxelnet_tpu.kernels.voxelize_pallas import build_voxel_table
+
+        table = build_voxel_table(
+            sorted_pts, run_start, max_voxels, T,
+            interpret=(backend == "pallas_interpret"))
     return _finalize(table, counts, coords, num_voxels, T, num_voxels_raw)
