@@ -292,9 +292,12 @@ def main(argv=None):
                          "(KITTIDataset(host_voxelize=True) path); the "
                          "in-graph voxelizer drops out of the step")
     ap.add_argument("--vfe-backend", default="xla",
-                    choices=("xla", "fused"),
+                    choices=("xla", "fused", "planar"),
                     help="vfe/dense stages: 'fused' = single Pallas "
-                         "kernel for table build + VFE stack")
+                         "kernel for table build + VFE stack; train "
+                         "stage: 'planar' = Pallas run-copy table in "
+                         "voxel-major layout + planar VFE "
+                         "(data.train_vfe_backend)")
     ap.add_argument("--batch", type=int, default=None,
                     help=f"frames per device batch (default {BATCH})")
     ap.add_argument("--repeats", type=int, default=3,
@@ -316,6 +319,8 @@ def main(argv=None):
         data_over["middle_backend"] = args.middle_backend
     if args.voxelizer_backend is not None:
         data_over["voxelizer_backend"] = args.voxelizer_backend
+    if args.stage == "train" and args.vfe_backend == "planar":
+        data_over["train_vfe_backend"] = "planar"
     overrides = {"data": data_over} if data_over else {}
     config = get_config(args.class_name, **overrides)
     made = _make_stage_fn(args.stage, config, args.host_targets,

@@ -91,6 +91,14 @@ class DataConfig:
     # single Pallas voxelize+VFE kernel (kernels/vfe_fused.py, 2.5x the
     # XLA stage on v5e); 'auto' selects it on TPU for unsharded graphs
     vfe_backend: str = "auto"
+    # explicit-table (train/eval) VFE path: 'auto' | 'xla' | 'planar'.
+    # 'planar' keeps the voxel table in the Pallas run-copy's voxel-major
+    # (B, C, T, K) layout (7.6 vs 29.7 ms/batch8 table build on v5e) and
+    # runs the VFE there (models/vfe_planar.py — identical math + param
+    # tree); 'xla' is the row-scatter (B, K, T, C) path. 'auto' picks the
+    # measured winner per backend (models.voxelnet.
+    # resolve_train_vfe_backend).
+    train_vfe_backend: str = "auto"
     # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d' | 'tap2d' |
     # 'sparse1' | 'sparsebwd' (conv3d forward bit-identical, block-1
     # backward via 27-site slice-gathers + MXU matmuls instead of the

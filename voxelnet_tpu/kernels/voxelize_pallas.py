@@ -88,7 +88,7 @@ def _planar_kernel(pts_ref, start_ref, out_ref):
     out_ref:   (1, 4, V * _VSTRIDE) f32 — lanes = voxel * 128 + slot.
     """
     V = start_ref.shape[2]
-    unroll = min(8, V)
+    unroll = next(u for u in (8, 4, 2, 1) if V % u == 0)
 
     def copy_run(v):
         s = start_ref[0, 0, v]
@@ -136,6 +136,27 @@ def build_voxel_table_planar(sorted_pts: jnp.ndarray,
     this (B, K, T, 4) entry point exists for equivalence tests and
     small graphs.
     """
+    tab = build_voxel_table_planar_raw(
+        sorted_pts, run_start, max_voxels, T, interpret=interpret,
+        block_voxels=block_voxels)
+    b = tab.shape[0]
+    tab = tab.reshape(b, 4, max_voxels, _VSTRIDE)
+    return tab[:, :, :, :T].transpose(0, 2, 3, 1)
+
+
+def build_voxel_table_planar_raw(sorted_pts: jnp.ndarray,
+                                 run_start: jnp.ndarray,
+                                 max_voxels: int, T: int,
+                                 interpret: bool = False,
+                                 block_voxels: int = 128) -> jnp.ndarray:
+    """The kernel's native (B, 4, K * 128) channel-planar output.
+
+    Production consumers keep this in lane-dense space: reshape to
+    (B, 4, K, 128) and transpose the last two dims to the voxel-major
+    (B, 4, T, K) layout (minor dim K — no tile padding), then run the
+    VFE there (models/vfe_planar.py). Rows past a voxel's count carry
+    the next run's points — consumers must mask by counts.
+    """
     if T >= _VSTRIDE:
         raise ValueError(f"points_per_voxel {T} must be < {_VSTRIDE}")
     V = min(block_voxels, max_voxels)
@@ -147,7 +168,7 @@ def build_voxel_table_planar(sorted_pts: jnp.ndarray,
         sorted_pts.transpose(0, 2, 1),
         jnp.zeros((b, 4, npad - n), jnp.float32)], axis=2)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _planar_kernel,
         grid=(b, max_voxels // V),
         out_shape=jax.ShapeDtypeStruct(
@@ -163,8 +184,6 @@ def build_voxel_table_planar(sorted_pts: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planar, run_start[:, None, :])
-    tab = out.reshape(b, 4, max_voxels, _VSTRIDE)
-    return tab[:, :, :, :T].transpose(0, 2, 3, 1)
 
 
 def build_voxel_table(sorted_pts: jnp.ndarray, run_start: jnp.ndarray,

@@ -68,6 +68,10 @@ class VoxelNet(nn.Module):
     # 'model' mesh-axis size — the sparse1 shard_map needs it statically
     # (the dense lowerings get it from the sharding constraints alone)
     num_model: int = 1
+    # planar-T VFE: `features` is the RAW voxel-major (B, 4, T, K) table
+    # from ops.voxelize.voxelize_planar_t; the VFE runs in that layout
+    # (models/vfe_planar.py — identical math and parameter tree)
+    planar_vfe: bool = False
     # partition entry for the batch axis in sharding constraints: 'data'
     # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
     # ('dcn', 'data', 'model') mesh
@@ -75,9 +79,17 @@ class VoxelNet(nn.Module):
 
     @nn.compact
     def __call__(self, features, coords, counts, train: bool = False):
-        voxelwise = FeatureLearningNet(
-            dtype=self.dtype, bn_over_padding=self.bn_over_padding,
-            name="feature_net")(features, counts, train)
+        if self.planar_vfe:
+            from voxelnet_tpu.models.vfe_planar import (
+                PlanarFeatureLearningNet)
+
+            voxelwise = PlanarFeatureLearningNet(
+                dtype=self.dtype, bn_over_padding=self.bn_over_padding,
+                name="feature_net")(features, counts, train)
+        else:
+            voxelwise = FeatureLearningNet(
+                dtype=self.dtype, bn_over_padding=self.bn_over_padding,
+                name="feature_net")(features, counts, train)
         folded = self.middle_backend == "folded2d"
         if self.middle_backend in ("sparse1", "sparsebwd"):
             # block 1 consumes the voxel table directly — the C=128 dense
@@ -173,6 +185,50 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     return "conv3d"
 
 
+def resolve_train_vfe_backend(config: VoxelNetConfig) -> str:
+    """Resolve data.train_vfe_backend for the explicit-table graphs
+    (train / eval steps).
+
+    'planar' feeds the model the RAW voxel-major (B, 4, T, K) table from
+    the Pallas run-copy (ops.voxelize.voxelize_planar_t — 7.6 vs the XLA
+    row scatter's 29.7 ms/batch8 on v5e) and runs the VFE in that layout
+    (models/vfe_planar.py; identical math and parameter tree, both BN
+    modes). Measured on the chip it wins the train step 32.3 vs 29.7
+    f/s @B8 (BASELINE.md ladder), so 'auto' selects it on TPU whenever
+    it applies: kernel shape constraints (T < 128, max_voxels a
+    multiple of 128 or <= 128) and device voxelization (not
+    train.host_voxelize, which feeds pre-built (B, K, T, 7) buffers).
+    Mesh sharding is fine — the table build runs under shard_map over
+    the batch axes (voxelize_planar_t_sharded; exercised by
+    dryrun_multichip). Off-TPU 'auto' stays 'xla' (the interpreted
+    kernel is test-only).
+    """
+    configured = config.data.train_vfe_backend
+    if configured not in ("auto", "xla", "planar"):
+        raise ValueError(
+            f"data.train_vfe_backend={configured!r} — expected 'auto', "
+            "'xla' or 'planar'")
+    K, T = config.data.max_voxels, config.object.points_per_voxel
+    fits = T < 128 and (K <= 128 or K % 128 == 0)
+    if configured == "planar":
+        if config.train.host_voxelize:
+            raise ValueError(
+                "data.train_vfe_backend='planar' voxelizes on device — "
+                "incompatible with train.host_voxelize (pipeline feeds "
+                "pre-built (B, K, T, 7) buffers)")
+        if not fits:
+            raise ValueError(
+                "data.train_vfe_backend='planar' needs points_per_voxel "
+                f"< 128 and max_voxels % 128 == 0 (got T={T}, K={K})")
+        return configured
+    if configured != "auto":
+        return configured
+    if (fits and not config.train.host_voxelize
+            and jax.default_backend() == "tpu"):
+        return "planar"
+    return "xla"
+
+
 def build_model(config: VoxelNetConfig) -> VoxelNet:
     num_dcn = getattr(config.system, "num_dcn_shards", 1)
     return VoxelNet(
@@ -185,19 +241,25 @@ def build_model(config: VoxelNetConfig) -> VoxelNet:
         spatial_shard=config.system.num_model_shards > 1,
         num_model=config.system.num_model_shards,
         batch_axes=("dcn", "data") if num_dcn > 1 else "data",
+        planar_vfe=resolve_train_vfe_backend(config) == "planar",
     )
 
 
 def init_params(config: VoxelNetConfig, rng: jax.Array):
     """Initialize params/batch_stats with tiny dummy buffers (shapes only
     matter along T and channel axes, so K=1 keeps init cheap). Runs under
-    jit — eager per-op dispatch of the init graph is ~15x slower."""
+    jit — eager per-op dispatch of the init graph is ~15x slower.
+
+    The planar-T model initializes an IDENTICAL tree (asserted in
+    tests/test_vfe_planar.py), so checkpoints are interchangeable."""
     model = build_model(config)
     T = config.object.points_per_voxel
+    planar = resolve_train_vfe_backend(config) == "planar"
 
     @jax.jit
     def _init(r):
-        feats = jnp.zeros((1, 1, T, 7), jnp.float32)
+        feats = (jnp.zeros((1, 4, T, 1), jnp.float32) if planar
+                 else jnp.zeros((1, 1, T, 7), jnp.float32))
         coords = jnp.zeros((1, 1, 3), jnp.int32)
         counts = jnp.zeros((1, 1), jnp.int32)
         return model.init(r, feats, coords, counts, train=False)

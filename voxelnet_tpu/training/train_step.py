@@ -64,17 +64,39 @@ def _compute_target_maps(config: VoxelNetConfig, gt_boxes, gt_mask):
     return jax.vmap(one)(gt_boxes, gt_mask)
 
 
-def _voxelize(config: VoxelNetConfig, batch):
+def _voxelize(config: VoxelNetConfig, batch, mesh=None):
     """-> (features, coords, counts, voxels_clipped-or-None).
 
-    voxels_clipped is the per-batch count of frames whose occupied-voxel
-    count hit the static max_voxels cap (saturation telemetry)."""
+    `features` is the (B, K, T, 7) table on the XLA path, or the RAW
+    voxel-major (B, 4, T, K) table when train_vfe_backend resolves to
+    'planar' (the model's PlanarFeatureLearningNet masks + featurizes
+    it). voxels_clipped is the per-batch count of frames whose
+    occupied-voxel count hit the static max_voxels cap (saturation
+    telemetry)."""
     if "voxel_features" in batch:
         return (batch["voxel_features"], batch["voxel_coords"],
                 batch["voxel_counts"], None)
-    from voxelnet_tpu.ops.voxelize import resolve_backend
+    from voxelnet_tpu.models.voxelnet import resolve_train_vfe_backend
 
     spec = VoxelGridSpec.from_object_config(config.object)
+    if resolve_train_vfe_backend(config) == "planar":
+        from voxelnet_tpu.ops.voxelize import (
+            voxelize_planar_t, voxelize_planar_t_sharded)
+
+        if mesh is None:
+            tab_t, coords, counts, _, nvr = voxelize_planar_t(
+                batch["points"], batch["num_points"], spec,
+                config.data.max_voxels)
+        else:
+            batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
+                          else ("data",))
+            tab_t, coords, counts, _, nvr = voxelize_planar_t_sharded(
+                batch["points"], batch["num_points"], spec,
+                config.data.max_voxels, mesh, batch_axes=batch_axes)
+        clipped = (nvr > config.data.max_voxels).sum()
+        return tab_t, coords, counts, clipped
+    from voxelnet_tpu.ops.voxelize import resolve_backend
+
     vox = voxelize_batch_jax(batch["points"], batch["num_points"], spec,
                              config.data.max_voxels,
                              resolve_backend(config.data.voxelizer_backend))
@@ -84,17 +106,20 @@ def _voxelize(config: VoxelNetConfig, batch):
 
 def make_train_step(config: VoxelNetConfig,
                     tx: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
     """Returns jitted fn(state, batch) -> (state, metrics dict).
 
     `batch` needs points/num_points (device voxelization) or voxel buffers
     (host voxelization), plus gt_boxes (B, G, 7) and gt_mask (B, G).
+    `mesh`: the active device mesh, needed only so the planar-T Pallas
+    table build can shard_map over the batch axes.
     """
     model = build_model(config)
     tcfg = config.train
 
     def step_fn(state: TrainState, batch) -> tuple[TrainState, dict]:
-        features, coords, counts, vox_clipped = _voxelize(config, batch)
+        features, coords, counts, vox_clipped = _voxelize(config, batch,
+                                                          mesh)
         if "target_pos" in batch:
             # host-precomputed targets (pipeline threads overlap this work
             # with the previous device step — see dataset.TargetPrecomputer)
@@ -143,13 +168,13 @@ def make_train_step(config: VoxelNetConfig,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
-def make_eval_step(config: VoxelNetConfig):
+def make_eval_step(config: VoxelNetConfig, mesh=None):
     """Jitted fn(state, batch) -> (metrics, cls_probs, reg) for validation."""
     model = build_model(config)
     tcfg = config.train
 
     def eval_fn(state: TrainState, batch):
-        features, coords, counts, _ = _voxelize(config, batch)
+        features, coords, counts, _ = _voxelize(config, batch, mesh)
         if "target_pos" in batch:
             pos, neg, reg_t = (batch["target_pos"], batch["target_neg"],
                                batch["target_reg"])

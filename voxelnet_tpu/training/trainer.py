@@ -154,8 +154,8 @@ class Trainer:
         else:
             self.state = create_train_state(
                 config, self.tx, jax.random.key(config.train.seed))
-        self.train_step = make_train_step(config, self.tx)
-        self.eval_step = make_eval_step(config)
+        self.train_step = make_train_step(config, self.tx, mesh=self.mesh)
+        self.eval_step = make_eval_step(config, mesh=self.mesh)
         self.decode_fn = make_decode_fn(config)
         # host-side target assignment runs on the pipeline threads,
         # overlapped with device compute (train.host_targets)
