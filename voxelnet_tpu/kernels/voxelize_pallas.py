@@ -186,6 +186,93 @@ def build_voxel_table_planar_raw(sorted_pts: jnp.ndarray,
     )(planar, run_start[:, None, :])
 
 
+def _planar_t_kernel(tpad: int):
+    """Kernel factory: run-copy into VMEM scratch, then in-register
+    (V, 128) -> (128, V) transposes emit the block voxel-major."""
+
+    def kernel(pts_ref, start_ref, out_ref, scratch_ref):
+        """One (frame, voxel-block) step.
+
+        pts_ref:     (1, 4, NPAD) f32 — channel-planar sorted points.
+        start_ref:   (1, 1, V) i32 SMEM — per-voxel first-point index.
+        out_ref:     (1, 4, TPAD, V) f32 — voxel-major output block.
+        scratch_ref: (4, V * 128) f32 VMEM — slot-major staging.
+        """
+        V = start_ref.shape[2]
+        unroll = next(u for u in (8, 4, 2, 1) if V % u == 0)
+
+        def copy_run(v):
+            s = start_ref[0, 0, v]
+            sa = pl.multiple_of((s // _VSTRIDE) * _VSTRIDE, _VSTRIDE)
+            window = pts_ref[0, :, pl.ds(sa, 2 * _VSTRIDE)]
+            rolled = pltpu.roll(window, sa - s, 1)
+            dst = pl.multiple_of(v * _VSTRIDE, _VSTRIDE)
+            scratch_ref[:, pl.ds(dst, _VSTRIDE)] = rolled[:, :_VSTRIDE]
+
+        def copy_u(i, _):
+            base = i * unroll
+            for u in range(unroll):
+                copy_run(base + u)
+            return 0
+
+        jax.lax.fori_loop(0, V // unroll, copy_u, 0)
+
+        # epilogue: (V*128,) lanes -> (V, 128) rows (free relayout) ->
+        # transpose -> keep the first TPAD slot rows, voxels in lanes
+        for c in range(4):
+            x = scratch_ref[c, :].reshape(V, _VSTRIDE)
+            out_ref[0, c, :, :] = x.T[:tpad, :]
+
+    return kernel
+
+
+def build_voxel_table_planar_t(sorted_pts: jnp.ndarray,
+                               run_start: jnp.ndarray,
+                               max_voxels: int, T: int,
+                               interpret: bool = False,
+                               block_voxels: int = 128) -> jnp.ndarray:
+    """(B, N, 4) sorted points + (B, K) run starts -> voxel-major
+    (B, 4, TPAD, K) table, TPAD = T rounded up to the 8-sublane tile.
+
+    The production planar-T entry point (ops.voxelize.voxelize_planar_t):
+    same run-copy as `build_voxel_table_planar_raw`, but the transpose to
+    voxel-major happens per 128-voxel block in VMEM, so the
+    (B, 4, K*128) slot-stride table (33.5 MB/frame for the Car config)
+    never exists in HBM — the kernel writes TPAD/128 of that (3.2x less
+    table bandwidth) and the external XLA transpose pass disappears.
+    Rows past a voxel's count carry the next run's points — consumers
+    mask by counts, exactly like the other builders.
+    """
+    if T >= _VSTRIDE:
+        raise ValueError(f"points_per_voxel {T} must be < {_VSTRIDE}")
+    V = min(block_voxels, max_voxels)
+    if max_voxels % V:
+        raise ValueError(f"max_voxels {max_voxels} % block {V} != 0")
+    tpad = _tpad(T)
+    b, n, _ = sorted_pts.shape
+    npad = n + 2 * _VSTRIDE
+    planar = jnp.concatenate([
+        sorted_pts.transpose(0, 2, 1),
+        jnp.zeros((b, 4, npad - n), jnp.float32)], axis=2)
+
+    return pl.pallas_call(
+        _planar_t_kernel(tpad),
+        grid=(b, max_voxels // V),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 4, tpad, max_voxels), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 4, npad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, tpad, V), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((4, V * _VSTRIDE), jnp.float32)],
+        interpret=interpret,
+    )(planar, run_start[:, None, :])
+
+
 def build_voxel_table(sorted_pts: jnp.ndarray, run_start: jnp.ndarray,
                       max_voxels: int, T: int,
                       interpret: bool = False) -> jnp.ndarray:

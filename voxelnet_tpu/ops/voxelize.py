@@ -327,29 +327,26 @@ def voxelize_planar_t(points: jnp.ndarray, num_points: jnp.ndarray,
 
     The Pallas channel-planar run-copy builds the table at ~4x the XLA
     row scatter's throughput (7.6 vs 29.7 ms/batch8 on v5e,
-    scripts/probe_planar.py); one XLA transpose lands it in the
-    voxel-major layout whose minor dim (K) is tile-friendly. Rows past
+    scripts/probe_planar.py) and transposes each 128-voxel block to
+    voxel-major IN VMEM (`build_voxel_table_planar_t`), so the
+    slot-stride (B, 4, K*128) intermediate never reaches HBM. Rows past
     each voxel's count carry the next run's points — the consumer
     (models.vfe_planar.planar_point_features) masks them, mirroring
     `_finalize`. interpret=None auto-selects the Pallas interpreter
     off-TPU (CPU tests / virtual-device meshes).
     """
-    import jax as _jax
-
     if interpret is None:
-        interpret = _jax.default_backend() != "tpu"
+        interpret = jax.default_backend() != "tpu"
     from voxelnet_tpu.kernels.voxelize_pallas import (
-        build_voxel_table_planar_raw)
+        build_voxel_table_planar_t)
 
     T = spec.max_points_per_voxel
     (sorted_pts, run_start, counts, coords, num_voxels,
      num_voxels_raw) = jax.vmap(
         lambda p, n: _pallas_prepare(p, n, spec, max_voxels)
     )(points, num_points)
-    raw = build_voxel_table_planar_raw(
+    tab_t = build_voxel_table_planar_t(
         sorted_pts, run_start, max_voxels, T, interpret=interpret)
-    b = raw.shape[0]
-    tab_t = raw.reshape(b, 4, max_voxels, 128).transpose(0, 1, 3, 2)
     tab_t = tab_t[:, :, :T, :]
     return tab_t, coords, counts, num_voxels, num_voxels_raw
 
