@@ -99,6 +99,12 @@ class DataConfig:
     # measured winner per backend (models.voxelnet.
     # resolve_train_vfe_backend).
     train_vfe_backend: str = "auto"
+    # depth->BEV fold at the middle/RPN junction: 'auto' | 'transpose' |
+    # 'dsplit'. 'dsplit' absorbs the c-major fold into the first RPN
+    # conv's kernel (rpn._BEVFoldConv) so the fold transpose never
+    # materializes; identical math + parameter tree. 'auto' picks the
+    # measured winner (models.voxelnet.resolve_bev_fold).
+    bev_fold: str = "auto"
     # middle-conv lowering: 'auto' | 'conv3d' | 'folded2d' | 'tap2d' |
     # 'sparse1' | 'sparsebwd' (conv3d forward bit-identical, block-1
     # backward via 27-site slice-gathers + MXU matmuls instead of the

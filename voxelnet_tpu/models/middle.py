@@ -306,6 +306,12 @@ class MiddleLayers(nn.Module):
     num_model: int = 1
     # sparsebwd: scatter hints for block-1's in-forward dense build
     scatter_hints: bool = False
+    # fold=False returns the raw (B, D', H, W, C) block-3 output; the
+    # consumer (rpn._BEVFoldConv) absorbs the c-major depth fold into
+    # its first conv's kernel, so the ~433 MB/batch8 fold transpose
+    # never materializes (data.bev_fold='dsplit'). conv3d-family
+    # backends only — folded2d's activations are already folded.
+    fold: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -331,9 +337,15 @@ class MiddleLayers(nn.Module):
             for cout, stride_d, pad_d in _BLOCKS[1:]:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
                                 backend="conv3d")(x, train)
+            if not self.fold:
+                return x
             x = x.transpose(0, 2, 3, 4, 1)
             return x.reshape(b, h, w, -1)
         if self.backend == "folded2d":
+            if not self.fold:
+                raise ValueError(
+                    "MiddleLayers(fold=False) needs a 5D-output backend; "
+                    "folded2d activations are already depth-folded")
             if x.ndim == 5:  # accept the 5D layout too; fold it here
                 b, d, h, w, c = x.shape
                 x = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c)
@@ -358,6 +370,8 @@ class MiddleLayers(nn.Module):
         for cout, stride_d, pad_d in _BLOCKS:
             x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
                             backend=self.backend)(x, train)
+        if not self.fold:
+            return x
         # fold remaining depth into channels: (B, D', H, W, C) ->
         # (B, H, W, C*D') with the CHANNEL axis major, matching the
         # reference's view of its NCDHW tensor (voxelnet/model.py:262

@@ -12,8 +12,47 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from voxelnet_tpu.models.init import (
     torch_bias_init, torch_deconv_kernel_init, torch_kernel_init)
+
+
+class _BEVFoldConv(nn.Module):
+    """Param-compatible stand-in for ConvBNReLU's nn.Conv that consumes
+    the UNFOLDED (B, D, H, W, C) middle output (data.bev_fold='dsplit').
+
+    The c-major depth->BEV fold (models/middle.py, matching the
+    reference's NCDHW view at voxelnet/model.py:262) is absorbed into
+    the conv: one Conv2D per depth slice with the kernel's input-channel
+    axis de-interleaved at trace time (fold channel = c*D + d, so depth
+    d's channels sit at kernel[:, :, d::D, :]), summed. Mathematically
+    identical to fold-then-Conv2D; the (B, D', H, W, C) -> (B, H, W,
+    C*D') transpose (~433 MB/batch8, 5.4 ms fused into block 3 on v5e)
+    never materializes. Same 'kernel' (3, 3, D*C, cout) / 'bias' params
+    as the nn.Conv it replaces — checkpoints interchange."""
+
+    cout: int
+    stride: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, d * c, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(d * c * 9),
+                          (self.cout,), jnp.float32)
+        y = None
+        for dd in range(d):
+            wd = kernel[:, :, dd::d, :].astype(self.dtype)
+            z = jax.lax.conv_general_dilated(
+                x[:, dd].astype(self.dtype), wd,
+                window_strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = z if y is None else y + z
+        return y + bias.astype(y.dtype)
 
 
 class ConvBNReLU(nn.Module):
@@ -23,12 +62,19 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.cout, kernel_size=(3, 3),
-                    strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=torch_kernel_init,
-                    bias_init=torch_bias_init(x.shape[-1] * 9))(x)
+        if x.ndim == 5:
+            # unfolded (B, D, H, W, C) middle output — the depth fold is
+            # absorbed into this conv's kernel (see _BEVFoldConv)
+            x = _BEVFoldConv(self.cout, self.stride, dtype=self.dtype,
+                             name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.cout, kernel_size=(3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(x.shape[-1] * 9),
+                        name="Conv_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)

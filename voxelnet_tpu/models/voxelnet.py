@@ -72,6 +72,11 @@ class VoxelNet(nn.Module):
     # from ops.voxelize.voxelize_planar_t; the VFE runs in that layout
     # (models/vfe_planar.py — identical math and parameter tree)
     planar_vfe: bool = False
+    # depth->BEV fold absorbed into the RPN's first conv kernel
+    # (rpn._BEVFoldConv): the middle stack hands RPN its raw 5D output
+    # and the ~433 MB/batch8 fold transpose disappears
+    # (data.bev_fold='dsplit'; identical math and parameter tree)
+    bev_dsplit: bool = False
     # partition entry for the batch axis in sharding constraints: 'data'
     # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
     # ('dcn', 'data', 'model') mesh
@@ -125,12 +130,15 @@ class VoxelNet(nn.Module):
                            num_model=self.num_model if self.spatial_shard
                            else 1,
                            scatter_hints=self.scatter_hints,
+                           fold=not self.bev_dsplit,
                            name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 
-            bev = jax.lax.with_sharding_constraint(
-                bev, P(self.batch_axes, None, "model", None))
+            spec = (P(self.batch_axes, None, None, "model", None)
+                    if self.bev_dsplit
+                    else P(self.batch_axes, None, "model", None))
+            bev = jax.lax.with_sharding_constraint(bev, spec)
         return RPN(block1_stride=self.rpn_block1_stride, dtype=self.dtype,
                    name="rpn")(bev, train)
 
@@ -229,6 +237,37 @@ def resolve_train_vfe_backend(config: VoxelNetConfig) -> str:
     return "xla"
 
 
+def resolve_bev_fold(config: VoxelNetConfig) -> str:
+    """Resolve data.bev_fold for the depth->BEV junction.
+
+    'dsplit' hands the RPN the middle stack's raw (B, D', H, W, C)
+    output and absorbs the reference's c-major fold (voxelnet/
+    model.py:262) into the first RPN conv's kernel (rpn._BEVFoldConv) —
+    the fold transpose never materializes. 'transpose' is the explicit
+    fold (models/middle.py). Identical math and parameter tree either
+    way; 'auto' picks the measured winner per platform (BASELINE.md).
+    folded2d activations are already depth-folded, so it keeps
+    'transpose' semantics regardless.
+    """
+    configured = config.data.bev_fold
+    if configured not in ("auto", "transpose", "dsplit"):
+        raise ValueError(
+            f"data.bev_fold={configured!r} — expected 'auto', "
+            "'transpose' or 'dsplit'")
+    middle = resolve_middle_backend(config)
+    if configured == "dsplit":
+        if middle == "folded2d":
+            raise ValueError(
+                "data.bev_fold='dsplit' needs a 5D-output middle backend "
+                "(folded2d activations are already depth-folded)")
+        return configured
+    if configured != "auto":
+        return configured
+    if middle != "folded2d" and jax.default_backend() == "tpu":
+        return "dsplit"
+    return "transpose"
+
+
 def build_model(config: VoxelNetConfig) -> VoxelNet:
     num_dcn = getattr(config.system, "num_dcn_shards", 1)
     return VoxelNet(
@@ -242,6 +281,7 @@ def build_model(config: VoxelNetConfig) -> VoxelNet:
         num_model=config.system.num_model_shards,
         batch_axes=("dcn", "data") if num_dcn > 1 else "data",
         planar_vfe=resolve_train_vfe_backend(config) == "planar",
+        bev_dsplit=resolve_bev_fold(config) == "dsplit",
     )
 
 

@@ -244,13 +244,17 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     )
     linear = jnp.where(valid, (vz * H + vy) * W + vx, INVALID)
 
-    # Sort by voxel id, carrying the point payload and voxel coords through
-    # the sort (multi-operand lax.sort) — avoids two N-row gathers.
-    (sort_ids, spx, spy, spz, spr, svz, svy, svx) = jax.lax.sort(
-        (linear, points[:, 0], points[:, 1], points[:, 2], points[:, 3],
-         vz, vy, vx), num_keys=1)
+    # Sort by voxel id, carrying the point payload through the sort
+    # (multi-operand lax.sort) — avoids an N-row gather. Voxel coords are
+    # NOT carried: every sort pass moves every payload column, and the
+    # (vz, vy, vx) columns are recoverable from the sorted key by two
+    # divmods (`_decode_zyx`) — dropping them cut the 9-operand sort
+    # (XLA adds an iota for stability) to 6 and saved ~2 ms/batch8 on
+    # v5e (BASELINE.md).
+    (sort_ids, spx, spy, spz, spr) = jax.lax.sort(
+        (linear, points[:, 0], points[:, 1], points[:, 2], points[:, 3]),
+        num_keys=1)
     sorted_pts = jnp.stack([spx, spy, spz, spr], axis=1)
-    zyx = jnp.stack([svz, svy, svx], axis=1)
     sorted_valid = sort_ids < INVALID
 
     # Run starts — first point of each voxel in sorted order.
@@ -260,8 +264,20 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     voxel_slot = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     num_voxels_raw = voxel_slot[-1] + 1
     num_voxels = jnp.minimum(num_voxels_raw, max_voxels)
-    return (sorted_pts, zyx, sorted_valid, is_start, voxel_slot,
+    return (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
             num_voxels, num_voxels_raw)
+
+
+def _decode_zyx(linear_ids, spec: VoxelGridSpec):
+    """Sorted linear voxel ids -> (..., 3) zyx bin coords (two divmods).
+
+    Inverse of `_sort_stage`'s (vz * H + vy) * W + vx key. Only positions
+    the caller knows are valid matter — the INVALID sentinel decodes to
+    (D, 0, 0) and must be masked/dropped by the consumer."""
+    _, H, W = spec.grid_dzyx
+    vx = linear_ids % W
+    rest = linear_ids // W
+    return jnp.stack([rest // H, rest % H, vx], axis=-1)
 
 
 def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
@@ -273,7 +289,7 @@ def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
     """
     T = spec.max_points_per_voxel
     N = points.shape[0]
-    (sorted_pts, zyx, sorted_valid, is_start, voxel_slot,
+    (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
      num_voxels, num_voxels_raw) = _sort_stage(
         points, num_points, spec, max_voxels)
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -293,9 +309,12 @@ def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
                          jnp.int32).at[slots_cnt].set(idx, mode="drop")
     counts = jnp.clip(start_cnt[1:] - start_cnt[:-1], 0, T)
 
-    zyx_padded = jnp.concatenate(
-        [zyx, jnp.zeros((1, 3), jnp.int32)], axis=0)
-    coords = zyx_padded[jnp.minimum(run_start, N)]
+    # coords from the K run-start KEYS (two divmods) — not carried
+    # through the sort; padding voxels (run_start == N) hit the zero pad
+    # and decode to (0, 0, 0), same as before
+    ids_padded = jnp.concatenate(
+        [sort_ids, jnp.zeros((1,), jnp.int32)], axis=0)
+    coords = _decode_zyx(ids_padded[jnp.minimum(run_start, N)], spec)
     return sorted_pts, run_start, counts, coords, num_voxels, num_voxels_raw
 
 
@@ -450,7 +469,7 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
         raise ValueError(f"unknown voxelizer backend {backend!r}")
 
     N = points.shape[0]
-    (sorted_pts, zyx, sorted_valid, is_start, voxel_slot,
+    (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
      num_voxels, num_voxels_raw) = _sort_stage(
         points, num_points, spec, max_voxels)
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -474,7 +493,7 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
     coord_target = jnp.where(is_start & (voxel_slot < max_voxels),
                              voxel_slot, max_voxels)
     coords = jnp.zeros((max_voxels, 3), jnp.int32).at[coord_target].set(
-        zyx, mode="drop")
+        _decode_zyx(sort_ids, spec), mode="drop")
     return _finalize(table, counts, coords, num_voxels, T, num_voxels_raw)
 
 
