@@ -33,7 +33,7 @@ except OSError:
     pass
 
 DATA_GLOB = "/root/reference/data/2011_09_26/*/velodyne_points/data/*.bin"
-BATCH = 24  # fused-VFE sweet spot on v5e: 92.5 @ B8, 98.9 @ B16, 99.9 @ B24, OOM @ B32
+BATCH = 24  # inference sweet spot on v5e (wpack+fused VFE): 101.6 @ B8, 110.1 @ B24, OOM @ B32
 ITERS = 20
 
 
@@ -269,13 +269,14 @@ def main(argv=None):
                              "targets"))
     ap.add_argument("--middle-backend", default=None,
                     choices=("auto", "conv3d", "folded2d", "tap2d",
-                             "sparse1", "sparsebwd"),
+                             "sparse1", "sparsebwd", "wpack"),
                     help="override data.middle_backend (conv3d = plain "
                          "Conv3D; folded2d = depth-folded Conv2D; tap2d "
                          "= per-depth-tap batched Conv2D; sparse1 = "
                          "block 1 off the voxel table, no C=128 dense "
                          "scatter; sparsebwd = conv3d forward + "
-                         "slice-gather sparse backward)")
+                         "slice-gather sparse backward; wpack = W-paired "
+                         "full-MXU-width Conv3D)")
     ap.add_argument("--voxelizer-backend", default=None,
                     choices=("auto", "xla", "gather", "pallas", "planar"),
                     help="override data.voxelizer_backend for the "

@@ -40,7 +40,7 @@ def test_param_trees_identical(x5d, variables):
 
 def test_eval_equivalence(x5d, variables):
     y3 = MiddleLayers(dtype=jnp.float32).apply(variables, x5d, False)
-    for backend in ("folded2d", "tap2d"):
+    for backend in ("folded2d", "tap2d", "wpack"):
         yf = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
             variables, x5d, False)
         assert y3.shape == yf.shape == (2, H, W, 128)
@@ -66,7 +66,7 @@ def test_train_equivalence_including_batch_stats(x5d, variables):
         variables, x5d, True, mutable=["batch_stats"])
     flat3 = jax.tree_util.tree_leaves_with_path(m3["batch_stats"])
     assert len(flat3) == 6  # 3 blocks x (mean, var)
-    for backend in ("folded2d", "tap2d"):
+    for backend in ("folded2d", "tap2d", "wpack"):
         yf, mf = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
             variables, x5d, True, mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),
@@ -77,6 +77,56 @@ def test_train_equivalence_including_batch_stats(x5d, variables):
             np.testing.assert_allclose(
                 np.asarray(leaf), np.asarray(flatf[path]),
                 rtol=1e-4, atol=1e-5, err_msg=f"{backend} {path}")
+
+
+def test_wpack_vjp_is_the_conv3d_vjp():
+    """wpack pins its VJP to the dense conv3d transposes (the paired
+    conv's own VJP — a W-dilated transposed conv — is slower). Given
+    identical inputs and cotangent, dx/dw must be BIT-IDENTICAL to the
+    conv3d VJP: the backward graphs are the same computation."""
+    from voxelnet_tpu.models.middle import _conv3d_raw, _wpack_conv3d
+
+    rng = np.random.default_rng(0)
+    din = 10
+    for cin, cout, sd, pd in ((16, 8, 2, 1), (8, 8, 1, 0), (8, 8, 2, 1)):
+        x = jnp.asarray(rng.normal(size=(2, din, 8, 8, cin)).astype(
+            np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)).astype(
+            np.float32))
+        y1, vjp1 = jax.vjp(lambda x_, w_: _conv3d_raw(x_, w_, sd, pd), x, w)
+        y2, vjp2 = jax.vjp(lambda x_, w_: _wpack_conv3d(x_, w_, sd, pd),
+                           x, w)
+        # the paired (.., W/2, 2*Cout) output is a row-major relabeling
+        np.testing.assert_allclose(np.asarray(y1),
+                                   np.asarray(y2).reshape(y1.shape),
+                                   rtol=1e-5, atol=1e-4)
+        g = jnp.asarray(rng.normal(size=y1.shape).astype(np.float32))
+        for a, b in zip(vjp1(g), vjp2(g.reshape(y2.shape))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        din = (din + 2 * pd - 3) // sd + 1
+
+
+def test_wpack_grads_match_conv3d(x5d, variables):
+    """Stack-level gradient agreement (loose: forward summation-order
+    noise is amplified through the BatchNorm batch statistics — the
+    bitwise VJP check above is the strong form)."""
+    def loss(backend, params, x):
+        y = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
+            params, x, True, mutable=["batch_stats"])[0]
+        return jnp.sum(y * y)
+
+    g3p, g3x = jax.grad(lambda p, x: loss("conv3d", p, x),
+                        argnums=(0, 1))(variables, x5d)
+    gwp, gwx = jax.grad(lambda p, x: loss("wpack", p, x),
+                        argnums=(0, 1))(variables, x5d)
+    np.testing.assert_allclose(np.asarray(g3x), np.asarray(gwx),
+                               rtol=1e-2, atol=1e-3)
+    flat3 = dict(jax.tree_util.tree_leaves_with_path(g3p))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(gwp):
+        np.testing.assert_allclose(np.asarray(flat3[path]),
+                                   np.asarray(leaf),
+                                   rtol=1e-2, atol=1e-3,
+                                   err_msg=str(path))
 
 
 def test_scatter_folded_matches_fold_of_dense():

@@ -109,7 +109,9 @@ class DataConfig:
     # 'sparse1' | 'sparsebwd' (conv3d forward bit-identical, block-1
     # backward via 27-site slice-gathers + MXU matmuls instead of the
     # dense transposed-conv pair — training-path lever, see
-    # models/sparse_conv.conv3x3_sparsebwd).
+    # models/sparse_conv.conv3x3_sparsebwd) | 'wpack' (two adjacent W
+    # positions per output row — full 128-wide MXU tiles at 4/3 the
+    # MACs, models/middle._WPackConv).
     # All are mathematically identical with one shared
     # parameter tree (models/middle.py): 'folded2d' = ONE block-banded
     # Conv2D with depth folded into channels (Din/3 x FLOPs, biggest

@@ -31,6 +31,13 @@ Four mathematically identical lowerings, selected by `backend`:
     block-1's 4x-smaller output). Blocks 2-3 stay XLA Conv3D (after one
     3^3 dilation the occupancy is too dense to win). Input is the
     (voxelwise, coords, counts) tuple, not a dense grid.
+  * 'wpack'    — W-paired MXU-filling lowering: every block's 64 output
+    channels half-fill the 128-lane MXU, so each Conv3D computes TWO
+    adjacent W positions per output row instead — the (3, 3, 3, Cin, 64)
+    kernel expands to a zero-padded (3, 3, 4, Cin, 128) kernel applied
+    with W-stride 2, and the (.., W/2, 128) result is a row-major
+    relabeling of (.., W, 64) (free reshape). Exact same math and
+    parameters; 4/3 the MACs at full 128-wide output tiles.
 
 All four share one parameter tree; the winner per stage is measured on
 hardware (BASELINE.md MFU ladder) and picked by
@@ -38,6 +45,8 @@ models/voxelnet.resolve_middle_backend('auto').
 """
 
 from __future__ import annotations
+
+import functools
 
 import flax.linen as nn
 import jax
@@ -125,6 +134,102 @@ class _TapConv(nn.Module):
             y = z if y is None else y + z
         y = y + bias.astype(y.dtype)
         return y.reshape(b, dout, h, w, self.cout)
+
+
+def _conv3d_raw(x, w3, stride_d, pad_d):
+    return jax.lax.conv_general_dilated(
+        x, w3, window_strides=(stride_d, 1, 1),
+        padding=((pad_d, pad_d), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def _wpack_impl(x, w3, stride_d, pad_d):
+    """Paired-layout output (B, D', H, W/2, 2*Cout) — a row-major
+    relabeling of (B, D', H, W, Cout); the caller reshapes AFTER the
+    bias add so the broadcast stays 128-lane-wide (measured: adding the
+    64-wide bias on the reshaped view costs ~8 f/s of the full graph —
+    XLA picks a worse layout for the 64-minor intermediate)."""
+    cin, cout = w3.shape[3], w3.shape[4]
+    v = jnp.zeros((3, 3, 4, cin, 2 * cout), w3.dtype)
+    for kw in range(3):
+        v = v.at[:, :, kw, :, :cout].set(w3[:, :, kw])
+        v = v.at[:, :, kw + 1, :, cout:].set(w3[:, :, kw])
+    return jax.lax.conv_general_dilated(
+        x, v, window_strides=(stride_d, 1, 2),
+        padding=((pad_d, pad_d), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _wpack_conv3d(x, w3, stride_d, pad_d):
+    """W-paired Conv3D: forward runs the MXU-filling paired lowering
+    (measured fastest, BASELINE.md), backward runs the standard dense
+    conv3d transposes (the paired conv's own VJP — a W-dilated
+    transposed conv — measured SLOWER than the dense pair, so the VJP
+    is pinned to the conv3d formulation; gradients are identical since
+    the two forwards compute the same function). Output is the paired
+    (B, D', H, W/2, 2*Cout) layout."""
+    return _wpack_impl(x, w3, stride_d, pad_d)
+
+
+def _wpack_fwd(x, w3, stride_d, pad_d):
+    return _wpack_impl(x, w3, stride_d, pad_d), (x, w3)
+
+
+def _wpack_bwd(stride_d, pad_d, res, g):
+    x, w3 = res
+    # the paired cotangent is a free relabeling of the (.., W, Cout) one
+    cout = w3.shape[4]
+    g = g.reshape(g.shape[:3] + (2 * g.shape[3], cout))
+    dx = jax.linear_transpose(
+        lambda x_: _conv3d_raw(x_, w3, stride_d, pad_d), x)(g)[0]
+    dw = jax.linear_transpose(
+        lambda w_: _conv3d_raw(x, w_, stride_d, pad_d), w3)(g)[0]
+    return dx, dw
+
+
+_wpack_conv3d.defvjp(_wpack_fwd, _wpack_bwd)
+
+
+class _WPackConv(nn.Module):
+    """Param-compatible stand-in for the block's nn.Conv (same 'kernel' /
+    'bias' parameters, shapes, init) computing the W-paired lowering:
+    the size-4 W window starting at 2u-1 covers both output w=2u (taps
+    at window positions 0..2) and w=2u+1 (taps at positions 1..3), so a
+    (3, 3, 4, Cin, 2*Cout) zero-padded kernel at W-stride 2 emits both
+    as one 128-wide channel block — full MXU width at 4/3 the MACs.
+    The (.., W/2, 2*Cout) result is a row-major relabeling of
+    (.., W, Cout), so the closing reshape is free. Input/output stay
+    (B, D, H, W, C); backward is the dense conv3d VJP (_wpack_conv3d)."""
+
+    cout: int
+    cin: int
+    stride_d: int
+    pad_d: int
+    dtype: jnp.dtype = jnp.bfloat16
+    # where the bias broadcast happens relative to the free reshape —
+    # measured to steer XLA's layout choice for the conv output
+    # OPPOSITE ways in the two graphs (BASELINE.md): paired-side wins
+    # inference (110.1 vs 102.3 f/s @B24), reshaped-side wins training
+    # (34.1 vs 31.3 f/s @B8); ConvBlock3D passes paired_bias=not train
+    paired_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.cin * 27),
+                          (self.cout,), jnp.float32)
+        w = x.shape[3]
+        if w % 2:
+            raise ValueError(f"wpack needs an even W (got {w})")
+        y = _wpack_conv3d(x.astype(self.dtype), kernel.astype(self.dtype),
+                          self.stride_d, self.pad_d)
+        if self.paired_bias:
+            y = y + jnp.tile(bias, 2).astype(y.dtype)
+            return y.reshape(y.shape[:3] + (w, self.cout))
+        y = y.reshape(y.shape[:3] + (w, self.cout))
+        return y + bias.astype(y.dtype)
 
 
 class _SparseConv(nn.Module):
@@ -268,6 +373,10 @@ class ConvBlock3D(nn.Module):
         elif self.backend == "tap2d":
             x = _TapConv(self.cout, x.shape[-1], self.stride_d,
                          self.pad_d, dtype=self.dtype, name="Conv_0")(x)
+        elif self.backend == "wpack":
+            x = _WPackConv(self.cout, x.shape[-1], self.stride_d,
+                           self.pad_d, dtype=self.dtype,
+                           paired_bias=not train, name="Conv_0")(x)
         else:
             x = nn.Conv(
                 self.cout, kernel_size=(3, 3, 3),

@@ -151,10 +151,18 @@ class Detections(NamedTuple):
 
 def resolve_middle_backend(config: VoxelNetConfig) -> str:
     """Resolve data.middle_backend. 'auto' picks the measured winner
-    (BASELINE.md MFU ladder): 'conv3d' — on v5e the alternate dense
-    lowerings lose (folded2d pays its Din/3 FLOP multiplier: train 23.5
-    vs 28.9 f/s @B8, and its (B,H,W,D*C) activations OOM at the B24
-    inference sweet spot; tap2d rows recorded in the ladder). 'sparse1'
+    (BASELINE.md MFU ladder): 'wpack' on TPU — every middle conv emits
+    64 channels, half-filling the 128-lane MXU, so the W-paired lowering
+    (two adjacent W positions per output row via a zero-padded
+    (3,3,4,Cin,128) kernel at W-stride 2; 4/3 the MACs at full width,
+    backward pinned to the dense conv3d VJP) wins the full graphs:
+    inference 101.4 -> 110.1 f/s @B24, train 33.8 -> 34.1 @B8 (v5e).
+    Off-TPU, or when the grid W is odd (the pairing needs an even W),
+    'auto' stays 'conv3d'. Among the rest: 'conv3d' — on v5e the other
+    dense lowerings lose (folded2d pays its Din/3 FLOP multiplier:
+    train 23.5 vs 28.9 f/s @B8, and its (B,H,W,D*C) activations OOM at
+    the B24 inference sweet spot; tap2d rows recorded in the ladder).
+    'sparse1'
     (block 1 off the voxel table, models/sparse_conv.py; under spatial
     sharding each 'model' shard computes its W slab halo-free via
     shard_map) measured 10.8 f/s on the middle stage vs conv3d's 87.1
@@ -178,11 +186,12 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     the dense path's XLA halo exchanges handle that case)."""
     configured = config.data.middle_backend
     if configured not in ("auto", "conv3d", "folded2d", "tap2d",
-                          "sparse1", "sparsebwd"):
+                          "sparse1", "sparsebwd", "wpack"):
         raise ValueError(
             f"data.middle_backend={configured!r} — expected one of "
             "'auto', 'conv3d', 'folded2d', 'tap2d', 'sparse1', "
-            "'sparsebwd' (a typo would silently run the conv3d path)")
+            "'sparsebwd', 'wpack' (a typo would silently run the conv3d "
+            "path)")
     if configured == "sparsebwd" and config.system.num_model_shards > 1:
         raise ValueError(
             "data.middle_backend='sparsebwd' does not partition over "
@@ -190,6 +199,9 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
             "num_model_shards > 1")
     if configured != "auto":
         return configured
+    if (jax.default_backend() == "tpu"
+            and config.object.grid_size[2] % 2 == 0):
+        return "wpack"
     return "conv3d"
 
 
