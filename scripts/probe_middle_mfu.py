@@ -88,7 +88,7 @@ def main():
     args = ap.parse_args()
     d, h, w = (int(x) for x in args.grid.split(","))
 
-    peak = 394.0  # v5e bf16 TFLOP/s
+    peak = 197.0  # v5e ("TPU v5 lite") bf16 TFLOP/s; 394 is the INT8 number
     print(f"batch {args.batch}, grid ({d},{h},{w}), cin=128")
     for cout in (64, 128):
         ms, gf, tf = time_stack(cout, args.batch, d, h, w, 128)

@@ -235,6 +235,23 @@ def test_nms_suppresses_overlaps():
     np.testing.assert_allclose(sorted(kept[:, 0]), [10, 30], atol=1e-5)
 
 
+def test_nms_approx_topk_is_exact():
+    """The TPU NMS path selects candidates with lax.approx_max_k at
+    recall_target=1.0 (ops/nms._top_k) — that must return the EXACT
+    top-k (values and indices) of the gated score vector, here checked
+    against lax.top_k on a large random vector with duplicates."""
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(20000,)).astype(np.float32)
+    scores[rng.integers(0, 20000, 5000)] = -1.0  # gated-out duplicates
+    g = jnp.asarray(scores)
+    v_sort, i_sort = jax.lax.top_k(g, 256)
+    v_apx, i_apx = jax.lax.approx_max_k(g, 256, recall_target=1.0)
+    np.testing.assert_array_equal(np.asarray(v_sort), np.asarray(v_apx))
+    # indices may reorder only among exactly-equal values
+    mism = np.asarray(i_sort) != np.asarray(i_apx)
+    assert np.all(np.asarray(v_sort)[mism] == np.asarray(v_apx)[mism])
+
+
 def test_nms_score_threshold():
     boxes = _mkboxes([[10, 0, -1, 1.5, 1.6, 3.9, 0.0]])
     scores = jnp.asarray([0.3])

