@@ -79,11 +79,12 @@ def test_train_equivalence_including_batch_stats(x5d, variables):
                 rtol=1e-4, atol=1e-5, err_msg=f"{backend} {path}")
 
 
-def test_wpack_vjp_is_the_conv3d_vjp():
-    """wpack pins its VJP to the dense conv3d transposes (the paired
-    conv's own VJP — a W-dilated transposed conv — is slower). Given
-    identical inputs and cotangent, dx/dw must be BIT-IDENTICAL to the
-    conv3d VJP: the backward graphs are the same computation."""
+def test_wpack_vjp_matches_the_conv3d_vjp():
+    """wpack's custom VJP picks each transpose's formulation by
+    measurement (paired grad-input everywhere; paired grad-weight for
+    the equal-channel blocks, dense for the widening block). All
+    formulations compute the same math, so given identical inputs and
+    cotangent, dx/dw must match the conv3d VJP to f32 rounding."""
     from voxelnet_tpu.models.middle import _conv3d_raw, _wpack_conv3d
 
     rng = np.random.default_rng(0)
@@ -102,7 +103,8 @@ def test_wpack_vjp_is_the_conv3d_vjp():
                                    rtol=1e-5, atol=1e-4)
         g = jnp.asarray(rng.normal(size=y1.shape).astype(np.float32))
         for a, b in zip(vjp1(g), vjp2(g.reshape(y2.shape))):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-3)
         din = (din + 2 * pd - 3) // sd + 1
 
 

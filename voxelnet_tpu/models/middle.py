@@ -162,13 +162,18 @@ def _wpack_impl(x, w3, stride_d, pad_d):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _wpack_conv3d(x, w3, stride_d, pad_d):
-    """W-paired Conv3D: forward runs the MXU-filling paired lowering
-    (measured fastest, BASELINE.md), backward runs the standard dense
-    conv3d transposes (the paired conv's own VJP — a W-dilated
-    transposed conv — measured SLOWER than the dense pair, so the VJP
-    is pinned to the conv3d formulation; gradients are identical since
-    the two forwards compute the same function). Output is the paired
-    (B, D', H, W/2, 2*Cout) layout."""
+    """W-paired Conv3D with a measured-per-piece VJP. Forward runs the
+    MXU-filling paired lowering (fastest, BASELINE.md). Backward picks
+    each transpose's formulation by measurement (probe_wpack_bwd.py,
+    v5e B8): grad-input uses the PAIRED transpose everywhere (its
+    128-channel cotangent keeps the transposed conv full-width — 21.5
+    vs 32.9 ms on block 1); grad-weight uses the paired correlation for
+    the 64-in blocks (11.8 vs 16.7 ms) but the DENSE one for the
+    128-in block (28.2 vs 32.1 — the wider contraction already fills
+    the MXU and the paired form's extra MACs lose). All formulations
+    compute the same math; f32 grads agree to rounding, bf16 to
+    summation-order ulp. Output is the paired (B, D', H, W/2, 2*Cout)
+    layout."""
     return _wpack_impl(x, w3, stride_d, pad_d)
 
 
@@ -178,13 +183,17 @@ def _wpack_fwd(x, w3, stride_d, pad_d):
 
 def _wpack_bwd(stride_d, pad_d, res, g):
     x, w3 = res
-    # the paired cotangent is a free relabeling of the (.., W, Cout) one
-    cout = w3.shape[4]
-    g = g.reshape(g.shape[:3] + (2 * g.shape[3], cout))
+    cin, cout = w3.shape[3], w3.shape[4]
     dx = jax.linear_transpose(
-        lambda x_: _conv3d_raw(x_, w3, stride_d, pad_d), x)(g)[0]
-    dw = jax.linear_transpose(
-        lambda w_: _conv3d_raw(x, w_, stride_d, pad_d), w3)(g)[0]
+        lambda x_: _wpack_impl(x_, w3, stride_d, pad_d), x)(g)[0]
+    if cin > cout:
+        # dense grad-weight: the paired cotangent is a free relabeling
+        g64 = g.reshape(g.shape[:3] + (2 * g.shape[3], cout))
+        dw = jax.linear_transpose(
+            lambda w_: _conv3d_raw(x, w_, stride_d, pad_d), w3)(g64)[0]
+    else:
+        dw = jax.linear_transpose(
+            lambda w_: _wpack_impl(x, w_, stride_d, pad_d), w3)(g)[0]
     return dx, dw
 
 

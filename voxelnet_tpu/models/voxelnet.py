@@ -155,8 +155,9 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     64 channels, half-filling the 128-lane MXU, so the W-paired lowering
     (two adjacent W positions per output row via a zero-padded
     (3,3,4,Cin,128) kernel at W-stride 2; 4/3 the MACs at full width,
-    backward pinned to the dense conv3d VJP) wins the full graphs:
-    inference 101.4 -> 110.1 f/s @B24, train 33.8 -> 34.1 @B8 (v5e).
+    backward formulations picked per measured piece) wins the full
+    graphs: inference 101.4 -> 110.1 f/s @B24, train 33.8 -> 35.6 @B8
+    (v5e).
     Off-TPU, or when the grid W is odd (the pairing needs an even W),
     'auto' stays 'conv3d'. Among the rest: 'conv3d' — on v5e the other
     dense lowerings lose (folded2d pays its Din/3 FLOP multiplier:
