@@ -269,7 +269,7 @@ def main(argv=None):
                              "targets"))
     ap.add_argument("--middle-backend", default=None,
                     choices=("auto", "conv3d", "folded2d", "tap2d",
-                             "sparse1", "sparsebwd", "wpack"),
+                             "sparse1", "sparsebwd", "wpack", "wpack2"),
                     help="override data.middle_backend (conv3d = plain "
                          "Conv3D; folded2d = depth-folded Conv2D; tap2d "
                          "= per-depth-tap batched Conv2D; sparse1 = "

@@ -40,7 +40,7 @@ def test_param_trees_identical(x5d, variables):
 
 def test_eval_equivalence(x5d, variables):
     y3 = MiddleLayers(dtype=jnp.float32).apply(variables, x5d, False)
-    for backend in ("folded2d", "tap2d", "wpack"):
+    for backend in ("folded2d", "tap2d", "wpack", "wpack2"):
         yf = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
             variables, x5d, False)
         assert y3.shape == yf.shape == (2, H, W, 128)
@@ -66,7 +66,7 @@ def test_train_equivalence_including_batch_stats(x5d, variables):
         variables, x5d, True, mutable=["batch_stats"])
     flat3 = jax.tree_util.tree_leaves_with_path(m3["batch_stats"])
     assert len(flat3) == 6  # 3 blocks x (mean, var)
-    for backend in ("folded2d", "tap2d", "wpack"):
+    for backend in ("folded2d", "tap2d", "wpack", "wpack2"):
         yf, mf = MiddleLayers(dtype=jnp.float32, backend=backend).apply(
             variables, x5d, True, mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(y3), np.asarray(yf),

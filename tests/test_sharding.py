@@ -130,6 +130,47 @@ def test_wpack_spatial_sharding_matches_unsharded(tiny_config, tiny_batch):
                                np.asarray(out_sharded[1]), atol=2e-2)
 
 
+def test_wpack2_spatial_sharding_matches_unsharded(tiny_config,
+                                                    tiny_batch):
+    """The paired-throughout middle lowering under W-axis 'model'
+    sharding: GSPMD must partition the paired (.., W/2, 2C) activations
+    (halo exchange over the pair axis) and agree with unsharded."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from voxelnet_tpu.models.voxelnet import build_model, init_params
+    from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+
+    cfg = tiny_config.replace(data=dataclasses.replace(
+        tiny_config.data, middle_backend="wpack2"))
+    spec = VoxelGridSpec.from_object_config(cfg.object)
+    variables = init_params(cfg, jax.random.key(0))
+    vox = voxelize_batch_jax(
+        jnp.asarray(tiny_batch["points"]),
+        jnp.asarray(tiny_batch["num_points"]), spec, cfg.data.max_voxels)
+
+    plain = build_model(cfg)
+    out_plain = jax.jit(
+        lambda v, f, c, n: plain.apply(v, f, c, n, train=False)
+    )(variables, vox.features, vox.coords, vox.counts)
+
+    cfg_sharded = cfg.replace(system=cfg.system.__class__(
+        **{**cfg.system.__dict__, "num_data_shards": 2,
+           "num_model_shards": 2}))
+    sharded = build_model(cfg_sharded)
+    mesh = make_mesh(num_data=2, num_model=2)
+    with jax.set_mesh(mesh):
+        out_sharded = jax.jit(
+            lambda v, f, c, n: sharded.apply(v, f, c, n, train=False)
+        )(variables, vox.features, vox.coords, vox.counts)
+
+    np.testing.assert_allclose(np.asarray(out_plain[0]),
+                               np.asarray(out_sharded[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_plain[1]),
+                               np.asarray(out_sharded[1]), atol=2e-2)
+
+
 def test_sparse1_data_parallel_train_step(tiny_config, tiny_batch):
     """sparse1 rejects spatial 'model' sharding by design, but plain
     batch data-parallelism must work: the vmapped per-frame scatter-adds

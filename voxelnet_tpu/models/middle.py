@@ -6,7 +6,7 @@ Same topology as the reference middle stack (voxelnet/model.py:206-210,
 channel axis. TPU-native: NDHWC layout, bfloat16 compute, lowered straight
 to XLA convolutions.
 
-Four mathematically identical lowerings, selected by `backend`:
+Mathematically identical lowerings, selected by `backend`:
 
   * 'conv3d'   — plain XLA Conv3D over the (B, D, H, W, C) grid.
   * 'folded2d' — the depth axis lives in the channel axis: each Conv3D
@@ -38,8 +38,14 @@ Four mathematically identical lowerings, selected by `backend`:
     with W-stride 2, and the (.., W/2, 128) result is a row-major
     relabeling of (.., W, 64) (free reshape). Exact same math and
     parameters; 4/3 the MACs at full 128-wide output tiles.
+  * 'wpack2'   — wpack that never leaves the paired layout: BatchNorm
+    pools the half-lanes (_PairedBatchNorm), ReLU is layout-blind, and
+    blocks 2-3 consume the paired tensor directly via a structured
+    (3,3,3,2*Cin,2*Cout) kernel (_PPackConv, 2x exact MACs at full
+    K/N fill); ONE reshape at the stack exit. Kills the ~19 ms/B8 of
+    unpair/repair layout copies the per-block variant pays.
 
-All four share one parameter tree; the winner per stage is measured on
+All lowerings share one parameter tree; the winner per stage is measured on
 hardware (BASELINE.md MFU ladder) and picked by
 models/voxelnet.resolve_middle_backend('auto').
 """
@@ -222,6 +228,9 @@ class _WPackConv(nn.Module):
     # inference (110.1 vs 102.3 f/s @B24), reshaped-side wins training
     # (34.1 vs 31.3 f/s @B8); ConvBlock3D passes paired_bias=not train
     paired_bias: bool = True
+    # wpack2: return the paired (.., W/2, 2*Cout) tensor itself — the
+    # consumer stays in paired space (_PPackConv / _PairedBatchNorm)
+    paired_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -234,11 +243,98 @@ class _WPackConv(nn.Module):
             raise ValueError(f"wpack needs an even W (got {w})")
         y = _wpack_conv3d(x.astype(self.dtype), kernel.astype(self.dtype),
                           self.stride_d, self.pad_d)
+        if self.paired_out:
+            return y + jnp.tile(bias, 2).astype(y.dtype)
         if self.paired_bias:
             y = y + jnp.tile(bias, 2).astype(y.dtype)
             return y.reshape(y.shape[:3] + (w, self.cout))
         y = y.reshape(y.shape[:3] + (w, self.cout))
         return y + bias.astype(y.dtype)
+
+
+def _ppack_kernel(w3: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Cin,Cout) -> (3,3,3,2*Cin,2*Cout) paired-in/paired-out
+    W kernel: input pair u carries (X[2u] | X[2u+1]) in channels, the
+    output pair likewise, so the W conv becomes a stride-1 size-3 conv
+    over pairs with half-block-structured taps. 2x the exact MACs at
+    full K/N MXU fill — the price of never leaving the paired layout."""
+    cin, cout = w3.shape[3], w3.shape[4]
+    v = jnp.zeros((3, 3, 3, 2 * cin, 2 * cout), w3.dtype)
+    # even output Y[2u] = sum_kw X[2u+kw-1] W[kw]
+    v = v.at[:, :, 0, cin:, :cout].set(w3[:, :, 0])   # X[2u-1] = P[u-1] odd
+    v = v.at[:, :, 1, :cin, :cout].set(w3[:, :, 1])   # X[2u]   = P[u] even
+    v = v.at[:, :, 1, cin:, :cout].set(w3[:, :, 2])   # X[2u+1] = P[u] odd
+    # odd output Y[2u+1] = sum_kw X[2u+kw] W[kw]
+    v = v.at[:, :, 1, :cin, cout:].set(w3[:, :, 0])
+    v = v.at[:, :, 1, cin:, cout:].set(w3[:, :, 1])
+    v = v.at[:, :, 2, :cin, cout:].set(w3[:, :, 2])
+    return v
+
+
+class _PPackConv(nn.Module):
+    """Param-compatible stand-in for the block's nn.Conv computing the
+    paired-in/paired-out lowering: input AND output stay in the paired
+    (B, D, H, W/2, 2*C) layout (backend='wpack2'). Same 'kernel'/'bias'
+    parameters, shapes, init as the conv3d backend."""
+
+    cout: int
+    cin: int
+    stride_d: int
+    pad_d: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp):
+        kernel = self.param("kernel", torch_kernel_init,
+                            (3, 3, 3, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", torch_bias_init(self.cin * 27),
+                          (self.cout,), jnp.float32)
+        v = _ppack_kernel(kernel.astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), v,
+            window_strides=(self.stride_d, 1, 1),
+            padding=((self.pad_d, self.pad_d), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + jnp.tile(bias, 2).astype(y.dtype)
+
+
+class _PairedBatchNorm(nn.Module):
+    """Param-compatible stand-in for the block's nn.BatchNorm operating
+    on the paired (.., W/2, 2*C) layout: per-C statistics pool the two
+    half-lanes (exactly the stats BatchNorm computes over (B, D, H, W)),
+    the affine applies tiled — the big tensor never unpacks. Same
+    'scale'/'bias' params and 'mean'/'var' batch_stats, flax momentum
+    semantics (mirrors _FoldBatchNorm)."""
+
+    cout: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xp, use_running_average: bool):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.cout,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.cout,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.cout,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.cout,), jnp.float32))
+        xf = xp.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m2 = xf.mean(axis=tuple(range(xf.ndim - 1)))       # (2C,)
+            e2 = (xf * xf).mean(axis=tuple(range(xf.ndim - 1)))
+            mean = 0.5 * (m2[:self.cout] + m2[self.cout:])
+            var = 0.5 * (e2[:self.cout] + e2[self.cout:]) - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (xf - jnp.tile(mean, 2)) * jnp.tile(inv, 2) + jnp.tile(
+            bias, 2)
 
 
 class _SparseConv(nn.Module):
@@ -356,9 +452,27 @@ class ConvBlock3D(nn.Module):
     num_model: int = 1
     # sparsebwd lowering: XLA scatter hints for its in-forward dense build
     scatter_hints: bool = False
+    # wpack2 lowering: the block's input is already in the paired
+    # (.., W/2, 2*C) layout (blocks 2-3)
+    paired_in: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.backend == "wpack2":
+            # paired-throughout: the activation never leaves the paired
+            # (.., W/2, 2*C) layout — BN pools the half-lanes, the next
+            # block consumes the paired tensor directly (_PPackConv)
+            if self.paired_in:
+                x = _PPackConv(self.cout, x.shape[-1] // 2, self.stride_d,
+                               self.pad_d, dtype=self.dtype,
+                               name="Conv_0")(x)
+            else:
+                x = _WPackConv(self.cout, x.shape[-1], self.stride_d,
+                               self.pad_d, dtype=self.dtype,
+                               paired_out=True, name="Conv_0")(x)
+            x = _PairedBatchNorm(self.cout, name="BatchNorm_0")(
+                x, use_running_average=not train)
+            return nn.relu(x).astype(self.dtype)
         if self.backend == "sparsebwd":
             feat, coords, counts = x
             x = _SparseBwdConv(self.cout, feat.shape[-1], self.stride_d,
@@ -485,9 +599,16 @@ class MiddleLayers(nn.Module):
             return x.reshape(b, h, w, -1)
 
         b, _, h, w, _ = x.shape
-        for cout, stride_d, pad_d in _BLOCKS:
-            x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                            backend=self.backend)(x, train)
+        if self.backend == "wpack2":
+            # paired-throughout: one unpair reshape at the very end
+            for i, (cout, stride_d, pad_d) in enumerate(_BLOCKS):
+                x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
+                                backend="wpack2", paired_in=i > 0)(x, train)
+            x = x.reshape(x.shape[:3] + (w, -1))
+        else:
+            for cout, stride_d, pad_d in _BLOCKS:
+                x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
+                                backend=self.backend)(x, train)
         if not self.fold:
             return x
         # fold remaining depth into channels: (B, D', H, W, C) ->

@@ -151,13 +151,17 @@ class Detections(NamedTuple):
 
 def resolve_middle_backend(config: VoxelNetConfig) -> str:
     """Resolve data.middle_backend. 'auto' picks the measured winner
-    (BASELINE.md MFU ladder): 'wpack' on TPU — every middle conv emits
-    64 channels, half-filling the 128-lane MXU, so the W-paired lowering
-    (two adjacent W positions per output row via a zero-padded
-    (3,3,4,Cin,128) kernel at W-stride 2; 4/3 the MACs at full width,
-    backward formulations picked per measured piece) wins the full
-    graphs: inference 101.4 -> 110.1 f/s @B24, train 33.8 -> 35.6 @B8
-    (v5e).
+    (BASELINE.md MFU ladder): 'wpack2' on TPU — every middle conv emits
+    64 channels, half-filling the 128-lane MXU, so the stack runs in a
+    W-PAIRED layout throughout: block 1 computes two adjacent W
+    positions per output row (zero-padded (3,3,4,Cin,128) kernel at
+    W-stride 2, models/middle._WPackConv), BatchNorm/ReLU stay in the
+    paired (.., W/2, 128) layout (_PairedBatchNorm pools the
+    half-lanes), and blocks 2-3 consume the paired tensor directly
+    (_PPackConv) — the unpair/repair layout copies the per-block
+    'wpack' variant paid (~19 ms/B8, profiles/trace_r3b.md) never
+    happen. Measured (v5e): inference 101.4 (conv3d) -> 110.1 (wpack)
+    -> 120.9 f/s @B24 (wpack2); train 33.8 -> 35.6 -> 37.2 @B8.
     Off-TPU, or when the grid W is odd (the pairing needs an even W),
     'auto' stays 'conv3d'. Among the rest: 'conv3d' — on v5e the other
     dense lowerings lose (folded2d pays its Din/3 FLOP multiplier:
@@ -187,12 +191,12 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
     the dense path's XLA halo exchanges handle that case)."""
     configured = config.data.middle_backend
     if configured not in ("auto", "conv3d", "folded2d", "tap2d",
-                          "sparse1", "sparsebwd", "wpack"):
+                          "sparse1", "sparsebwd", "wpack", "wpack2"):
         raise ValueError(
             f"data.middle_backend={configured!r} — expected one of "
             "'auto', 'conv3d', 'folded2d', 'tap2d', 'sparse1', "
-            "'sparsebwd', 'wpack' (a typo would silently run the conv3d "
-            "path)")
+            "'sparsebwd', 'wpack', 'wpack2' (a typo would silently run the "
+            "conv3d path)")
     if configured == "sparsebwd" and config.system.num_model_shards > 1:
         raise ValueError(
             "data.middle_backend='sparsebwd' does not partition over "
@@ -202,7 +206,7 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
         return configured
     if (jax.default_backend() == "tpu"
             and config.object.grid_size[2] % 2 == 0):
-        return "wpack"
+        return "wpack2"
     return "conv3d"
 
 
