@@ -275,3 +275,27 @@ def test_in_grid_mask_matches_voxelizer_selection(car_spec):
     np.testing.assert_array_equal(a.coords, b.coords)
     np.testing.assert_array_equal(a.counts, b.counts)
     np.testing.assert_array_equal(a.features, b.features)
+
+
+def test_matmul_cumsum_matches_xla_scan():
+    """_cumsum_i32's triangular-matmul formulation is exact int32 cumsum.
+
+    Covers the production shape ((B, 65536) run-start scan), negatives,
+    and the fallback for shapes the matmul path rejects.
+    """
+    from voxelnet_tpu.ops.voxelize import _cumsum_i32
+
+    rng = np.random.default_rng(7)
+    for shape in [(65536,), (2, 65536), (3, 1024)]:
+        x = rng.integers(-3, 4, size=shape).astype(np.int32)
+        got = np.asarray(jax.jit(_cumsum_i32)(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x, axis=-1))
+    # 0/1 run-start flags at the production size: totals stay well below
+    # the 2**24 exactness bound
+    flags = (rng.random((4, 65536)) < 0.3).astype(np.int32)
+    got = np.asarray(jax.jit(_cumsum_i32)(jnp.asarray(flags)))
+    np.testing.assert_array_equal(got, np.cumsum(flags, axis=-1))
+    # non-multiple-of-128 length falls back to jnp.cumsum
+    x = rng.integers(0, 5, size=(2, 1000)).astype(np.int32)
+    got = np.asarray(_cumsum_i32(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x, axis=-1))

@@ -218,6 +218,36 @@ def pad_points(points: np.ndarray, max_points: int,
     return out, np.int32(n)
 
 
+def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 inclusive cumsum over the last axis via triangular
+    matmuls on the MXU.
+
+    XLA lowers `jnp.cumsum` on TPU to a log-depth reduce-window chain —
+    the device trace prices the (B, 65536) run-start scan at ~17 ms/batch8
+    (~8% of the train step). The same scan as two f32 matmuls against
+    triangular ones-matrices runs in well under 1 ms: within-chunk prefix
+    sums are a (..., C, 128) @ (128, 128) upper-triangular matmul, and the
+    carry across chunks is a second (strictly upper-triangular) matmul over
+    the C chunk totals. Exact while the running total stays below 2**24
+    (here: counts of run starts <= N points). Falls back to jnp.cumsum for
+    shapes where the matmul can't pay for itself.
+    """
+    n = x.shape[-1]
+    if n % 128 != 0 or n < 512 or n > 128 * 4096:
+        return jnp.cumsum(x, axis=-1)
+    c = n // 128
+    xf = x.reshape(*x.shape[:-1], c, 128).astype(jnp.float32)
+    # y[..., j] = sum_{k<=j} x[..., k]  ==  x @ upper_tri(incl. diagonal)
+    incl = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    within = xf @ incl
+    totals = within[..., :, -1]                       # (..., C) chunk sums
+    # exclusive prefix of chunk totals: strictly-upper-triangular matmul
+    excl = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)
+    carry = jnp.einsum("...c,cd->...d", totals, excl)
+    out = within + carry[..., :, None]
+    return out.reshape(*x.shape).astype(jnp.int32)
+
+
 def _sort_stage(points, num_points, spec: VoxelGridSpec,
                 max_voxels: int):
     """Per-frame stage 1: bin, validity-mask, sort by voxel id, run
@@ -261,7 +291,9 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sort_ids[:-1]])
     is_start = (sort_ids != prev) & sorted_valid
     # Compact voxel slot: cumsum over run starts (first voxel -> slot 0).
-    voxel_slot = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    # MXU matmul formulation — XLA's reduce-window scan is ~17 ms/batch8
+    # at N=65536 (see _cumsum_i32).
+    voxel_slot = _cumsum_i32(is_start.astype(jnp.int32)) - 1
     num_voxels_raw = voxel_slot[-1] + 1
     num_voxels = jnp.minimum(num_voxels_raw, max_voxels)
     return (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
