@@ -148,12 +148,14 @@ def main():
     staged = distributed.stage_global_batch(
         mesh, local, global_batch_size=GLOBAL_BATCH)
 
-    step = make_train_step(config, tx, donate=False)
+    step = make_train_step(config, tx, donate=False, mesh=mesh)
     state, metrics = step(state, staged)
     loss = float(jax.device_get(metrics["loss"]))
+    gnorm = float(jax.device_get(metrics["grad_norm"]))
     assert np.isfinite(loss)
-    if pid == 0:
-        print(f"LOSS {loss:.8f}", flush=True)
+    # EVERY process reports — the parent asserts cross-process agreement
+    # (the DCN gradient all-reduce must leave all replicas in lockstep)
+    print(f"LOSS {loss:.8f} GRADNORM {gnorm:.8f} PID {pid}", flush=True)
     jax.distributed.shutdown()
 
 

@@ -49,6 +49,12 @@ def main():
                          "that matters on a thin H2D link")
     ap.add_argument("--workers", type=int, default=None,
                     help="pipeline worker threads (default: train config)")
+    ap.add_argument("--upload", default="f32", choices=("f32", "i16q"),
+                    help="point wire format (train.upload_points): "
+                         "'i16q' halves the per-step H2D bytes")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="staging depth: batches device_put ahead of "
+                         "the running step (trainer default 2)")
     args = ap.parse_args()
 
     from voxelnet_tpu.cli.train import _apply_platform_override
@@ -69,7 +75,8 @@ def main():
         args.class_name,
         data={"host_voxelizer": args.host_vox if host_vox else "auto"},
         train={"batch_size": args.batch, "host_voxelize": host_vox,
-               "host_targets": args.host_targets == "on"},
+               "host_targets": args.host_targets == "on",
+               "upload_points": args.upload},
     )
     ds = KITTIDataset(args.data, config, host_voxelize=host_vox)
     steps = max(1, len(ds) // args.batch)
@@ -91,18 +98,30 @@ def main():
             if b is None:
                 return None
             import numpy as np
-            return {k: jax.device_put(v) for k, v in b.items()
-                    if isinstance(v, np.ndarray)}
+
+            arrays = {k: v for k, v in b.items()
+                      if isinstance(v, np.ndarray)}
+            if args.upload == "i16q" and "points" in arrays:
+                from voxelnet_tpu.ops.voxelize import quantize_points_i16
+                arrays["points"] = quantize_points_i16(arrays["points"])
+            return {k: jax.device_put(v) for k, v in arrays.items()}
 
         nonlocal state
+        import collections
         t0 = time.perf_counter()
-        pending = stage_next()
+        staged = collections.deque()
+        for _ in range(max(1, args.depth)):
+            b = stage_next()
+            if b is not None:
+                staged.append(b)
         n = 0
         metrics = None
-        while pending is not None:
-            state, metrics = train_step(state, pending)
+        while staged:
+            state, metrics = train_step(state, staged.popleft())
             n += 1
-            pending = stage_next()
+            b = stage_next()
+            if b is not None:
+                staged.append(b)
         loss = float(metrics["loss"])  # the one real sync
         return time.perf_counter() - t0, n, loss
 

@@ -61,8 +61,11 @@ def test_two_process_train_step_matches_single():
         assert rc == 0, f"worker failed:\n{out}\n{err}"
     loss_lines = [line for rc, out, _ in outs
                   for line in out.splitlines() if line.startswith("LOSS ")]
-    assert len(loss_lines) == 1, outs
-    multi_loss = float(loss_lines[0].split()[1])
+    # every process reports; the replicas must agree exactly-ish
+    assert len(loss_lines) == 2, outs
+    losses = sorted(float(line.split()[1]) for line in loss_lines)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    multi_loss = losses[0]
 
     single_loss = _single_process_loss()
     # bf16 conv stack + per-process partial-batch reductions reorder the

@@ -203,3 +203,24 @@ def test_host_voxelize_matches_device(tiny_config, tiny_batch, tiny_state):
                                rtol=2e-4)
     np.testing.assert_allclose(float(m_dev["grad_norm"]),
                                float(m_host["grad_norm"]), rtol=2e-3)
+
+
+def test_i16q_upload_matches_f32(tiny_config, tiny_batch, tiny_state):
+    """train.upload_points='i16q': the int16 wire format (5 mm xyz
+    quantization, dequantized in-graph) must reproduce the f32 step to
+    quantization tolerance — same jitted step handles both dtypes."""
+    from voxelnet_tpu.ops.voxelize import quantize_points_i16
+
+    state, tx = tiny_state
+    step = make_train_step(tiny_config, tx, donate=False)
+    _, m32 = step(state, tiny_batch)
+
+    qbatch = dict(tiny_batch)
+    qbatch["points"] = quantize_points_i16(tiny_batch["points"])
+    assert qbatch["points"].dtype == np.int16
+    _, m16 = step(state, qbatch)
+
+    assert float(m16["loss"]) == pytest.approx(float(m32["loss"]),
+                                               rel=1e-2)
+    assert float(m16["grad_norm"]) == pytest.approx(
+        float(m32["grad_norm"]), rel=5e-2)

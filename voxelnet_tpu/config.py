@@ -136,6 +136,15 @@ class DataConfig:
     # trailing; disable when feeding the model voxel buffers from any
     # other producer.
     scatter_hints: bool = True
+    # eval-time BatchNorm folding in the INFERENCE graph: 'auto' | 'on' |
+    # 'off'. BN is affine at eval; folding the affine into each conv's
+    # kernel/bias (models/bn_fold.py) deletes every middle/RPN BN op and
+    # its f32-convert/layout-copy boundary (the residual non-conv cost
+    # in profiles/trace_r3b.md). Platform-independent graph algebra —
+    # 'auto' = on; identical math up to bf16 rounding of the scaled
+    # kernels (equivalence-tested, tests/test_bn_fold.py). Train/eval
+    # LOSS graphs are untouched (they need live batch statistics).
+    fold_bn: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -178,6 +187,16 @@ class TrainConfig:
     # (data.host_voxelizer='auto' -> voxelnet_tpu/native) does ~2.6
     # ms/frame vs the NumPy twin's ~41 ms.
     host_voxelize: bool = False
+    # wire format of the per-step point upload: 'f32' (raw) | 'i16q'
+    # (int16, xyz quantized at 5 mm + reflectance at 1/32768 — HALF the
+    # H2D bytes on the link that bounds end-to-end training; the train
+    # step dequantizes in-graph, ~free elementwise). 5 mm is 2.5% of the
+    # smallest voxel edge (0.2 m) and ~1 ulp of f32 at x=70 m, so
+    # binning/AP effects are nil (equivalence-tested,
+    # tests/test_train.py); 'f32' keeps bit-identical parity with the
+    # reference pipeline. Measured end-to-end: scripts/probe_pipeline.py
+    # rows in BASELINE.md.
+    upload_points: str = "f32"
 
 
 @dataclass(frozen=True)

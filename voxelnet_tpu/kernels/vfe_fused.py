@@ -149,10 +149,14 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
     XLA (2.4 ms/batch8 measured); table build + VFE fuse into the kernel.
     fln_params/fln_stats: the FeatureLearningNet variables
     (params/batch_stats subtrees). interpret=None auto-selects the Pallas
-    interpreter off-TPU (CPU tests / virtual-device meshes).
+    interpreter off-TPU, keyed to the devices that will execute (ambient
+    mesh / default backend — parallel.execution_platform, not the
+    process-global jax.default_backend).
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from voxelnet_tpu.parallel import execution_platform
+
+        interpret = execution_platform() != "tpu"
     T = spec.max_points_per_voxel
     if T >= VSTRIDE:
         raise ValueError(f"points_per_voxel {T} must be < {VSTRIDE}")
@@ -239,9 +243,14 @@ def voxelize_vfe_fused_sharded(points: jnp.ndarray,
     sharding of the downstream convs is unaffected (the kernel output is
     identical on every model shard). Per-shard batch must be >= 1: the
     global batch must divide by the product of the batch-axis sizes.
+    interpret=None resolves from the MESH's devices.
     """
     from jax.sharding import PartitionSpec as P
 
+    if interpret is None:
+        from voxelnet_tpu.parallel import execution_platform
+
+        interpret = execution_platform(mesh=mesh) != "tpu"
     bspec = P(batch_axes)
 
     def local(p, n, params, stats):

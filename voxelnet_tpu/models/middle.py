@@ -455,9 +455,14 @@ class ConvBlock3D(nn.Module):
     # wpack2 lowering: the block's input is already in the paired
     # (.., W/2, 2*C) layout (blocks 2-3)
     paired_in: bool = False
+    # eval-time BN folding: the BN affine lives in the conv kernel/bias
+    # (models/bn_fold.fold_bn_variables) — skip the BN op entirely.
+    # Ignored when train=True (training needs live batch statistics).
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        skip_bn = self.fold_bn and not train
         if self.backend == "wpack2":
             # paired-throughout: the activation never leaves the paired
             # (.., W/2, 2*C) layout — BN pools the half-lanes, the next
@@ -470,8 +475,9 @@ class ConvBlock3D(nn.Module):
                 x = _WPackConv(self.cout, x.shape[-1], self.stride_d,
                                self.pad_d, dtype=self.dtype,
                                paired_out=True, name="Conv_0")(x)
-            x = _PairedBatchNorm(self.cout, name="BatchNorm_0")(
-                x, use_running_average=not train)
+            if not skip_bn:
+                x = _PairedBatchNorm(self.cout, name="BatchNorm_0")(
+                    x, use_running_average=not train)
             return nn.relu(x).astype(self.dtype)
         if self.backend == "sparsebwd":
             feat, coords, counts = x
@@ -490,8 +496,9 @@ class ConvBlock3D(nn.Module):
             cin = x.shape[-1] // self.din
             x = _FoldConv(self.cout, cin, self.din, self.stride_d,
                           self.pad_d, dtype=self.dtype, name="Conv_0")(x)
-            x = _FoldBatchNorm(self.cout, name="BatchNorm_0")(
-                x, use_running_average=not train)
+            if not skip_bn:
+                x = _FoldBatchNorm(self.cout, name="BatchNorm_0")(
+                    x, use_running_average=not train)
             return nn.relu(x).astype(self.dtype)
         elif self.backend == "tap2d":
             x = _TapConv(self.cout, x.shape[-1], self.stride_d,
@@ -509,9 +516,10 @@ class ConvBlock3D(nn.Module):
                 kernel_init=torch_kernel_init,
                 bias_init=torch_bias_init(x.shape[-1] * 27),
             )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="BatchNorm_0")(x)
+        if not skip_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="BatchNorm_0")(x)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -544,6 +552,9 @@ class MiddleLayers(nn.Module):
     # never materializes (data.bev_fold='dsplit'). conv3d-family
     # backends only — folded2d's activations are already folded.
     fold: bool = True
+    # eval-time BN folding (models/bn_fold.py): skip every BN op; the
+    # affine lives in the (transformed) conv params. Eval graphs only.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -565,10 +576,12 @@ class MiddleLayers(nn.Module):
                             backend=self.backend,
                             grid_dzyx=(din, h, w),
                             scatter_hints=self.scatter_hints,
-                            num_model=self.num_model)(x, train)
+                            num_model=self.num_model,
+                            fold_bn=self.fold_bn)(x, train)
             for cout, stride_d, pad_d in _BLOCKS[1:]:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                                backend="conv3d")(x, train)
+                                backend="conv3d",
+                                fold_bn=self.fold_bn)(x, train)
             if not self.fold:
                 return x
             x = x.transpose(0, 2, 3, 4, 1)
@@ -591,7 +604,8 @@ class MiddleLayers(nn.Module):
             b, h, w, _ = x.shape
             for cout, stride_d, pad_d in _BLOCKS:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                                backend="folded2d", din=din)(x, train)
+                                backend="folded2d", din=din,
+                                fold_bn=self.fold_bn)(x, train)
                 din = _depth_out(din, stride_d, pad_d)
             # reorder the (d, c) channel fold to the reference's c-major
             # BEV layout (voxelnet/model.py:262): bev_channel = c*D' + d
@@ -603,12 +617,14 @@ class MiddleLayers(nn.Module):
             # paired-throughout: one unpair reshape at the very end
             for i, (cout, stride_d, pad_d) in enumerate(_BLOCKS):
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                                backend="wpack2", paired_in=i > 0)(x, train)
+                                backend="wpack2", paired_in=i > 0,
+                                fold_bn=self.fold_bn)(x, train)
             x = x.reshape(x.shape[:3] + (w, -1))
         else:
             for cout, stride_d, pad_d in _BLOCKS:
                 x = ConvBlock3D(cout, stride_d, pad_d, dtype=self.dtype,
-                                backend=self.backend)(x, train)
+                                backend=self.backend,
+                                fold_bn=self.fold_bn)(x, train)
         if not self.fold:
             return x
         # fold remaining depth into channels: (B, D', H, W, C) ->

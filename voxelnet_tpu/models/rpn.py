@@ -59,6 +59,9 @@ class ConvBNReLU(nn.Module):
     cout: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    # eval-time BN folding (models/bn_fold.py): the BN affine lives in
+    # the conv kernel/bias — skip the BN op. Ignored when train=True.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,8 +78,9 @@ class ConvBNReLU(nn.Module):
                         kernel_init=torch_kernel_init,
                         bias_init=torch_bias_init(x.shape[-1] * 9),
                         name="Conv_0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+        if not (self.fold_bn and not train):
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -85,6 +89,7 @@ class DeconvBNReLU(nn.Module):
     kernel: int
     stride: int
     dtype: jnp.dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,8 +104,9 @@ class DeconvBNReLU(nn.Module):
             kernel_init=torch_deconv_kernel_init,
             bias_init=torch_bias_init(
                 self.cout * self.kernel * self.kernel))(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+        if not (self.fold_bn and not train):
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -109,26 +115,33 @@ class RPN(nn.Module):
 
     block1_stride: int = 2   # 2 for Car, 1 for Pedestrian/Cyclist
     dtype: jnp.dtype = jnp.bfloat16
+    # eval-time BN folding (models/bn_fold.py) for every block
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        fb = self.fold_bn
         # block 1: 5 convs at 128 channels (voxelnet/model.py:213-227)
-        x = ConvBNReLU(128, self.block1_stride, dtype=self.dtype)(x, train)
+        x = ConvBNReLU(128, self.block1_stride, dtype=self.dtype,
+                       fold_bn=fb)(x, train)
         for _ in range(4):
-            x = ConvBNReLU(128, 1, dtype=self.dtype)(x, train)
-        up1 = DeconvBNReLU(256, kernel=3, stride=1, dtype=self.dtype)(x, train)
+            x = ConvBNReLU(128, 1, dtype=self.dtype, fold_bn=fb)(x, train)
+        up1 = DeconvBNReLU(256, kernel=3, stride=1, dtype=self.dtype,
+                           fold_bn=fb)(x, train)
 
         # block 2: 6 convs at 128 (voxelnet/model.py:231-238)
-        x = ConvBNReLU(128, 2, dtype=self.dtype)(x, train)
+        x = ConvBNReLU(128, 2, dtype=self.dtype, fold_bn=fb)(x, train)
         for _ in range(5):
-            x = ConvBNReLU(128, 1, dtype=self.dtype)(x, train)
-        up2 = DeconvBNReLU(256, kernel=2, stride=2, dtype=self.dtype)(x, train)
+            x = ConvBNReLU(128, 1, dtype=self.dtype, fold_bn=fb)(x, train)
+        up2 = DeconvBNReLU(256, kernel=2, stride=2, dtype=self.dtype,
+                           fold_bn=fb)(x, train)
 
         # block 3: 6 convs at 256 (voxelnet/model.py:242-249)
-        x = ConvBNReLU(256, 2, dtype=self.dtype)(x, train)
+        x = ConvBNReLU(256, 2, dtype=self.dtype, fold_bn=fb)(x, train)
         for _ in range(5):
-            x = ConvBNReLU(256, 1, dtype=self.dtype)(x, train)
-        up3 = DeconvBNReLU(256, kernel=4, stride=4, dtype=self.dtype)(x, train)
+            x = ConvBNReLU(256, 1, dtype=self.dtype, fold_bn=fb)(x, train)
+        up3 = DeconvBNReLU(256, kernel=4, stride=4, dtype=self.dtype,
+                           fold_bn=fb)(x, train)
 
         feats = jnp.concatenate([up3, up2, up1], axis=-1)  # 768 channels
 

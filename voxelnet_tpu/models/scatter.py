@@ -48,6 +48,43 @@ def scatter_to_dense(voxel_features: jnp.ndarray, coords: jnp.ndarray,
     return jax.vmap(one)(voxel_features, coords, counts)
 
 
+def scatter_to_dense_gather(voxel_features: jnp.ndarray,
+                            coords: jnp.ndarray, counts: jnp.ndarray,
+                            grid_dzyx: tuple[int, int, int]) -> jnp.ndarray:
+    """scatter_to_dense computed with ZERO scatters: searchsorted + row
+    gather.
+
+    Valid only for voxelizer-ordered buffers (each frame's occupied
+    voxels in ascending (z*H + y)*W + x order, padding trailing — the
+    order every framework voxelizer emits, see scatter_to_dense). For
+    every grid cell, binary-search its linear id in the frame's sorted
+    voxel ids (log2(K) vectorized compares over an iota — no HBM
+    traffic) and gather the hit voxel's feature row, masking misses to
+    zero. Gathers have no read-modify-write hazard, so XLA streams them
+    where the scatter serializes row updates (~10M rows/s wall,
+    scripts/probe_scatter.py). Measured on v5e: see
+    scripts/probe_dense_gather.py / BASELINE.md.
+    """
+    D, H, W = grid_dzyx
+    n_cells = D * H * W
+
+    def one(feat, crd, cnt):
+        K = feat.shape[0]
+        linear = (crd[:, 0] * H + crd[:, 1]) * W + crd[:, 2]
+        # padding rows -> sentinel past every cell id; real ids are
+        # strictly increasing, so keys are globally non-decreasing
+        keys = jnp.where(cnt > 0, linear, n_cells)
+        cells = jnp.arange(n_cells, dtype=jnp.int32)
+        pos = jnp.searchsorted(keys, cells, side="left")
+        pos = jnp.minimum(pos, K - 1).astype(jnp.int32)
+        hit = keys[pos] == cells
+        rows = feat[pos]                      # (n_cells, C) row gather
+        rows = rows * hit[:, None].astype(rows.dtype)
+        return rows.reshape(D, H, W, feat.shape[-1])
+
+    return jax.vmap(one)(voxel_features, coords, counts)
+
+
 def scatter_to_dense_folded(voxel_features: jnp.ndarray,
                             coords: jnp.ndarray, counts: jnp.ndarray,
                             grid_dzyx: tuple[int, int, int]) -> jnp.ndarray:

@@ -31,6 +31,7 @@ import numpy as np
 
 from voxelnet_tpu.config import VoxelNetConfig
 from voxelnet_tpu.models.middle import MiddleLayers
+from voxelnet_tpu.parallel import execution_platform
 from voxelnet_tpu.models.rpn import RPN
 from voxelnet_tpu.models.scatter import (
     scatter_to_dense, scatter_to_dense_folded)
@@ -81,6 +82,10 @@ class VoxelNet(nn.Module):
     # on a ('data', 'model') mesh, ('dcn', 'data') on the multi-host
     # ('dcn', 'data', 'model') mesh
     batch_axes: Any = "data"
+    # eval-time BN folding (models/bn_fold.py): apply ONLY with
+    # fold_bn_variables-transformed params; every middle/RPN BN op is
+    # skipped (the affine lives in the conv kernels). Eval graphs only.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, features, coords, counts, train: bool = False):
@@ -131,6 +136,7 @@ class VoxelNet(nn.Module):
                            else 1,
                            scatter_hints=self.scatter_hints,
                            fold=not self.bev_dsplit,
+                           fold_bn=self.fold_bn,
                            name="middle")(dense, train)
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
@@ -140,7 +146,7 @@ class VoxelNet(nn.Module):
                     else P(self.batch_axes, None, "model", None))
             bev = jax.lax.with_sharding_constraint(bev, spec)
         return RPN(block1_stride=self.rpn_block1_stride, dtype=self.dtype,
-                   name="rpn")(bev, train)
+                   fold_bn=self.fold_bn, name="rpn")(bev, train)
 
 
 class Detections(NamedTuple):
@@ -149,7 +155,8 @@ class Detections(NamedTuple):
     valid: jnp.ndarray    # (B, post_topk) bool
 
 
-def resolve_middle_backend(config: VoxelNetConfig) -> str:
+def resolve_middle_backend(config: VoxelNetConfig,
+                           platform: str | None = None) -> str:
     """Resolve data.middle_backend. 'auto' picks the measured winner
     (BASELINE.md MFU ladder): 'wpack2' on TPU — every middle conv emits
     64 channels, half-filling the 128-lane MXU, so the stack runs in a
@@ -204,13 +211,14 @@ def resolve_middle_backend(config: VoxelNetConfig) -> str:
             "num_model_shards > 1")
     if configured != "auto":
         return configured
-    if (jax.default_backend() == "tpu"
+    if (execution_platform(platform=platform) == "tpu"
             and config.object.grid_size[2] % 2 == 0):
         return "wpack2"
     return "conv3d"
 
 
-def resolve_train_vfe_backend(config: VoxelNetConfig) -> str:
+def resolve_train_vfe_backend(config: VoxelNetConfig,
+                              platform: str | None = None) -> str:
     """Resolve data.train_vfe_backend for the explicit-table graphs
     (train / eval steps).
 
@@ -249,12 +257,13 @@ def resolve_train_vfe_backend(config: VoxelNetConfig) -> str:
     if configured != "auto":
         return configured
     if (fits and not config.train.host_voxelize
-            and jax.default_backend() == "tpu"):
+            and execution_platform(platform=platform) == "tpu"):
         return "planar"
     return "xla"
 
 
-def resolve_bev_fold(config: VoxelNetConfig) -> str:
+def resolve_bev_fold(config: VoxelNetConfig,
+                     platform: str | None = None) -> str:
     """Resolve data.bev_fold for the depth->BEV junction.
 
     'dsplit' hands the RPN the middle stack's raw (B, D', H, W, C)
@@ -271,7 +280,7 @@ def resolve_bev_fold(config: VoxelNetConfig) -> str:
         raise ValueError(
             f"data.bev_fold={configured!r} — expected 'auto', "
             "'transpose' or 'dsplit'")
-    middle = resolve_middle_backend(config)
+    middle = resolve_middle_backend(config, platform)
     if configured == "dsplit":
         if middle == "folded2d":
             raise ValueError(
@@ -280,38 +289,49 @@ def resolve_bev_fold(config: VoxelNetConfig) -> str:
         return configured
     if configured != "auto":
         return configured
-    if middle != "folded2d" and jax.default_backend() == "tpu":
+    if (middle != "folded2d"
+            and execution_platform(platform=platform) == "tpu"):
         return "dsplit"
     return "transpose"
 
 
-def build_model(config: VoxelNetConfig) -> VoxelNet:
+def build_model(config: VoxelNetConfig,
+                platform: str | None = None,
+                fold_bn: bool = False) -> VoxelNet:
+    """`platform`: execution platform for the 'auto' backend resolves —
+    defaults to the ambient mesh / default backend (execution_platform).
+    `fold_bn`: build the eval-only BN-folded graph (apply with
+    models.bn_fold.fold_bn_variables-transformed params)."""
     num_dcn = getattr(config.system, "num_dcn_shards", 1)
+    platform = execution_platform(platform=platform)
     return VoxelNet(
+        fold_bn=fold_bn,
         grid_dzyx=config.object.grid_size,
         dtype=jnp.dtype(config.train.compute_dtype),
         bn_over_padding=config.compat.bn_over_padding,
         rpn_block1_stride=config.rpn.block1_stride,
-        middle_backend=resolve_middle_backend(config),
+        middle_backend=resolve_middle_backend(config, platform),
         scatter_hints=config.data.scatter_hints,
         spatial_shard=config.system.num_model_shards > 1,
         num_model=config.system.num_model_shards,
         batch_axes=("dcn", "data") if num_dcn > 1 else "data",
-        planar_vfe=resolve_train_vfe_backend(config) == "planar",
-        bev_dsplit=resolve_bev_fold(config) == "dsplit",
+        planar_vfe=resolve_train_vfe_backend(config, platform) == "planar",
+        bev_dsplit=resolve_bev_fold(config, platform) == "dsplit",
     )
 
 
-def init_params(config: VoxelNetConfig, rng: jax.Array):
+def init_params(config: VoxelNetConfig, rng: jax.Array,
+                platform: str | None = None):
     """Initialize params/batch_stats with tiny dummy buffers (shapes only
     matter along T and channel axes, so K=1 keeps init cheap). Runs under
     jit — eager per-op dispatch of the init graph is ~15x slower.
 
     The planar-T model initializes an IDENTICAL tree (asserted in
     tests/test_vfe_planar.py), so checkpoints are interchangeable."""
-    model = build_model(config)
+    platform = execution_platform(platform=platform)
+    model = build_model(config, platform)
     T = config.object.points_per_voxel
-    planar = resolve_train_vfe_backend(config) == "planar"
+    planar = resolve_train_vfe_backend(config, platform) == "planar"
 
     @jax.jit
     def _init(r):
@@ -324,7 +344,8 @@ def init_params(config: VoxelNetConfig, rng: jax.Array):
     return _init(rng)
 
 
-def resolve_vfe_backend(config: VoxelNetConfig) -> str:
+def resolve_vfe_backend(config: VoxelNetConfig,
+                        platform: str | None = None) -> str:
     """Resolve data.vfe_backend for the inference graph.
 
     'auto' selects the fused Pallas voxelize+VFE kernel
@@ -362,12 +383,30 @@ def resolve_vfe_backend(config: VoxelNetConfig) -> str:
         return "xla"
     fits = (config.object.points_per_voxel < 128
             and config.data.max_voxels % 128 == 0)
-    if not model_sharded and fits and jax.default_backend() == "tpu":
+    if (not model_sharded and fits
+            and execution_platform(platform=platform) == "tpu"):
         return "fused"
     return "xla"
 
 
-def make_inference_fn(config: VoxelNetConfig, mesh=None):
+def resolve_fold_bn(config: VoxelNetConfig) -> bool:
+    """Resolve data.fold_bn for the inference graph ('auto' -> on).
+
+    Eval-time BN is a per-channel affine; folding it into the adjacent
+    conv kernels (models/bn_fold.py) is platform-independent graph
+    algebra, so 'auto' enables it everywhere. 'off' keeps the reference
+    graph shape (separate Conv+BN ops, voxelnet/model.py:111-167) for
+    A/B numerics work."""
+    configured = getattr(config.data, "fold_bn", "auto")
+    if configured not in ("auto", "on", "off"):
+        raise ValueError(
+            f"data.fold_bn={configured!r} — expected 'auto', 'on' or "
+            "'off'")
+    return configured != "off"
+
+
+def make_inference_fn(config: VoxelNetConfig, mesh=None,
+                      platform: str | None = None):
     """Full single-graph inference: raw padded points -> NMS detections.
 
     Returns fn(variables, points (B, N, 4), num_points (B,)) -> Detections.
@@ -379,15 +418,21 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
     `mesh`: required when the config batch-shards ('data'/'dcn' > 1) and
     the fused backend is selected — the kernel then runs under shard_map
     over the batch axes (kernels/vfe_fused.voxelize_vfe_fused_sharded).
+    `platform`: execution platform override for the backend resolves;
+    defaults to the mesh's devices (or the ambient mesh / default
+    backend — execution_platform).
     """
-    model = build_model(config)
+    platform = execution_platform(mesh=mesh, platform=platform)
+    fold_bn = resolve_fold_bn(config)
+    model = build_model(config, platform, fold_bn=fold_bn)
     spec = VoxelGridSpec.from_object_config(config.object)
     flat_anchors = jnp.asarray(anchor_ops.anchors_flat(config.object))
     obj, rpn_cfg = config.object, config.rpn
     backend = resolve_backend(config.data.voxelizer_backend)
-    vfe_backend = resolve_vfe_backend(config)
+    vfe_backend = resolve_vfe_backend(config, platform)
+    interpret = platform != "tpu"  # Pallas interpreter off-TPU
 
-    middle_backend = resolve_middle_backend(config)
+    middle_backend = resolve_middle_backend(config, platform)
     sys_cfg = config.system
     num_dcn = getattr(sys_cfg, "num_dcn_shards", 1)
     batch_sharded = sys_cfg.num_data_shards * num_dcn > 1
@@ -413,12 +458,14 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
                 points, num_points, spec, config.data.max_voxels,
                 variables["params"]["feature_net"],
                 variables["batch_stats"]["feature_net"],
-                mesh=mesh, batch_axes=fused_batch_axes)
+                mesh=mesh, batch_axes=fused_batch_axes,
+                interpret=interpret)
         else:
             vw, coords, counts = voxelize_vfe_fused(
                 points, num_points, spec, config.data.max_voxels,
                 variables["params"]["feature_net"],
-                variables["batch_stats"]["feature_net"])
+                variables["batch_stats"]["feature_net"],
+                interpret=interpret)
         if middle_backend in ("sparse1", "sparsebwd"):
             dense = (vw, coords, counts)
         elif middle_backend == "folded2d":
@@ -433,17 +480,24 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
         bev = MiddleLayers(dtype=dtype, backend=middle_backend,
                            depth_in=config.object.grid_size[0],
                            grid_hw=tuple(config.object.grid_size[1:]),
-                           scatter_hints=config.data.scatter_hints).apply(
+                           scatter_hints=config.data.scatter_hints,
+                           fold_bn=fold_bn).apply(
             {"params": variables["params"]["middle"],
              "batch_stats": variables["batch_stats"]["middle"]},
             dense, False)
         return RPN(block1_stride=config.rpn.block1_stride,
-                   dtype=dtype).apply(
+                   dtype=dtype, fold_bn=fold_bn).apply(
             {"params": variables["params"]["rpn"],
              "batch_stats": variables["batch_stats"]["rpn"]},
             bev, False)
 
     def fn(variables, points, num_points) -> Detections:
+        if fold_bn:
+            # in-graph param transform: per-channel elementwise on the
+            # conv kernels, negligible next to the convs themselves
+            from voxelnet_tpu.models.bn_fold import fold_bn_variables
+
+            variables = fold_bn_variables(variables)
         if vfe_backend == "fused":
             cls_logits, reg = forward_fused(variables, points, num_points)
         else:
@@ -466,7 +520,8 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None):
                 iou_thresh=rpn_cfg.nms_thres,
                 pre_topk=rpn_cfg.nms_pre_topk,
                 post_topk=rpn_cfg.nms_post_topk,
-                mode=rpn_cfg.nms_mode)
+                mode=rpn_cfg.nms_mode,
+                platform=platform)
 
         res = jax.vmap(one)(boxes, flat_probs)
         return Detections(res.boxes, res.scores, res.valid)

@@ -24,7 +24,7 @@ class NMSResult(NamedTuple):
     valid: jnp.ndarray    # (post_topk,) bool
 
 
-def _top_k(scores: jnp.ndarray, k: int):
+def _top_k(scores: jnp.ndarray, k: int, platform: str | None = None):
     """Exact top-k of the gated score vector.
 
     On TPU, `lax.top_k` lowers to a full sort (measured 43.9 ms for
@@ -33,8 +33,13 @@ def _top_k(scores: jnp.ndarray, k: int):
     4.1 ms for the same shape and returns the exact top-k (verified
     value- AND index-identical on random data; ties may order
     differently from top_k's lowest-index rule, which only matters for
-    exactly-equal f32 scores). Other backends keep lax.top_k."""
-    if jax.default_backend() == "tpu":
+    exactly-equal f32 scores). Other backends keep lax.top_k.
+    `platform` keys the choice to the devices that will execute
+    (parallel.execution_platform resolves None from the ambient mesh /
+    default backend)."""
+    from voxelnet_tpu.parallel import execution_platform
+
+    if execution_platform(platform=platform) == "tpu":
         return jax.lax.approx_max_k(scores, k, recall_target=1.0)
     return jax.lax.top_k(scores, k)
 
@@ -77,7 +82,8 @@ def _greedy_suppress(iou_mat: jnp.ndarray, order_valid: jnp.ndarray,
 def nms_bev(boxes3d: jnp.ndarray, scores: jnp.ndarray, *,
             score_thresh: float, iou_thresh: float,
             pre_topk: int, post_topk: int,
-            mode: str = "rotated") -> NMSResult:
+            mode: str = "rotated",
+            platform: str | None = None) -> NMSResult:
     """Score-threshold + BEV NMS for one frame, all static shapes.
 
     Args:
@@ -86,6 +92,8 @@ def nms_bev(boxes3d: jnp.ndarray, scores: jnp.ndarray, *,
       mode: 'rotated' — exact rotated-rectangle IoU (upgrade over the
         reference); 'standup' — axis-aligned IoU of the AABB of the rotated
         corners, matching voxelnet/model.py:39-48.
+      platform: execution platform for the top-k lowering choice (None =
+        ambient mesh / default backend).
 
     Returns post_topk boxes/scores with a validity mask (False entries are
     padding — either below the score threshold or suppressed).
@@ -95,7 +103,7 @@ def nms_bev(boxes3d: jnp.ndarray, scores: jnp.ndarray, *,
     gated = jnp.where(eligible, scores, -1.0)
 
     pre_topk = min(pre_topk, scores.shape[0])
-    top_scores, top_idx = _top_k(gated, pre_topk)
+    top_scores, top_idx = _top_k(gated, pre_topk, platform)
     cand = boxes3d[top_idx].astype(jnp.float32)        # (k, 7)
     cand_valid = top_scores >= score_thresh
 

@@ -218,6 +218,28 @@ def pad_points(points: np.ndarray, max_points: int,
     return out, np.int32(n)
 
 
+# wire-format scales for train.upload_points='i16q': xyz at 5 mm,
+# reflectance at 1/32768 — int16 covers ±163.8 m / ±1.0
+POINT_I16_SCALES = (0.005, 0.005, 0.005, 1.0 / 32768.0)
+
+
+def quantize_points_i16(points: np.ndarray) -> np.ndarray:
+    """Host-side: (..., 4) f32 points -> int16 wire format (HALF the
+    H2D bytes; see config.TrainConfig.upload_points)."""
+    scales = np.asarray(POINT_I16_SCALES, np.float32)
+    q = np.rint(np.asarray(points, np.float32) / scales)
+    return np.clip(q, -32768, 32767).astype(np.int16)
+
+
+def dequantize_points_i16(points: jnp.ndarray) -> jnp.ndarray:
+    """In-graph: int16 wire format -> f32 points; f32 passes through.
+    The dtype test is static under jit (no recompile churn)."""
+    if points.dtype != jnp.int16:
+        return points
+    scales = jnp.asarray(POINT_I16_SCALES, jnp.float32)
+    return points.astype(jnp.float32) * scales
+
+
 def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     """Exact int32 inclusive cumsum over the last axis via triangular
     matmuls on the MXU.
@@ -228,22 +250,28 @@ def _cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     triangular ones-matrices runs in well under 1 ms: within-chunk prefix
     sums are a (..., C, 128) @ (128, 128) upper-triangular matmul, and the
     carry across chunks is a second (strictly upper-triangular) matmul over
-    the C chunk totals. Exact while the running total stays below 2**24
-    (here: counts of run starts <= N points). Falls back to jnp.cumsum for
-    shapes where the matmul can't pay for itself.
+    the C chunk totals. Both matmuls run at Precision.HIGHEST — TPU's
+    default precision truncates f32 matmul INPUTS to bf16 (7-bit
+    mantissa), which would silently corrupt totals beyond ~2**8; at
+    HIGHEST the f32 inputs stay exact, so the result is exact while the
+    running total stays below 2**24 (here: counts of run starts <= N
+    points). The precision flag costs nothing measurable at these
+    (C, 128) @ (128, 128) sizes. Falls back to jnp.cumsum for shapes
+    where the matmul can't pay for itself.
     """
     n = x.shape[-1]
     if n % 128 != 0 or n < 512 or n > 128 * 4096:
         return jnp.cumsum(x, axis=-1)
     c = n // 128
+    hi = jax.lax.Precision.HIGHEST
     xf = x.reshape(*x.shape[:-1], c, 128).astype(jnp.float32)
     # y[..., j] = sum_{k<=j} x[..., k]  ==  x @ upper_tri(incl. diagonal)
     incl = jnp.triu(jnp.ones((128, 128), jnp.float32))
-    within = xf @ incl
+    within = jnp.matmul(xf, incl, precision=hi)
     totals = within[..., :, -1]                       # (..., C) chunk sums
     # exclusive prefix of chunk totals: strictly-upper-triangular matmul
     excl = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)
-    carry = jnp.einsum("...c,cd->...d", totals, excl)
+    carry = jnp.einsum("...c,cd->...d", totals, excl, precision=hi)
     out = within + carry[..., :, None]
     return out.reshape(*x.shape).astype(jnp.int32)
 
@@ -384,10 +412,15 @@ def voxelize_planar_t(points: jnp.ndarray, num_points: jnp.ndarray,
     each voxel's count carry the next run's points — the consumer
     (models.vfe_planar.planar_point_features) masks them, mirroring
     `_finalize`. interpret=None auto-selects the Pallas interpreter
-    off-TPU (CPU tests / virtual-device meshes).
+    off-TPU, keyed to the devices that will execute (ambient mesh /
+    default backend — parallel.execution_platform, NOT the
+    process-global jax.default_backend, which can disagree with a CPU
+    mesh when a TPU plugin is registered).
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from voxelnet_tpu.parallel import execution_platform
+
+        interpret = execution_platform() != "tpu"
     from voxelnet_tpu.kernels.voxelize_pallas import (
         build_voxel_table_planar_t)
 
@@ -413,9 +446,14 @@ def voxelize_planar_t_sharded(points: jnp.ndarray,
     embarrassingly batch-parallel, so each ('dcn','data') shard runs it
     on its local batch rows (mirrors kernels.vfe_fused.
     voxelize_vfe_fused_sharded). Per-shard batch must be >= 1.
+    interpret=None resolves from the MESH's devices.
     """
     from jax.sharding import PartitionSpec as P
 
+    if interpret is None:
+        from voxelnet_tpu.parallel import execution_platform
+
+        interpret = execution_platform(mesh=mesh) != "tpu"
     bspec = P(batch_axes)
 
     def local(p, n):

@@ -22,6 +22,40 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def execution_platform(mesh=None, platform: str | None = None) -> str:
+    """Platform ('tpu' | 'cpu' | ...) of the devices that will EXECUTE.
+
+    Backend-dependent choices (Pallas interpret mode, measured-winner
+    lowerings) must key off the devices a graph actually runs on — not
+    `jax.default_backend()`, which is a process-global that can disagree
+    with the mesh in play (e.g. a TPU plugin is registered but the mesh
+    is built from CPU fallback devices, as the driver's
+    `dryrun_multichip` does; or a CPU side-job runs next to the exclusive
+    chip). Priority:
+
+      1. explicit `platform` argument,
+      2. the devices of an explicit `mesh` argument,
+      3. the ambient concrete mesh (`jax.set_mesh(...)` context),
+      4. `jax.default_backend()` (single-device default placement).
+    """
+    if platform is not None:
+        return platform
+    if mesh is not None:
+        devs = getattr(mesh, "devices", None)
+        if devs is not None and getattr(devs, "size", 0):
+            return devs.flat[0].platform
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        concrete = _mesh_lib.get_concrete_mesh()
+        devs = getattr(concrete, "devices", None)
+        if devs is not None and getattr(devs, "size", 0):
+            return devs.flat[0].platform
+    except Exception:  # pragma: no cover - private-API drift tolerance
+        pass
+    return jax.default_backend()
+
+
 def make_mesh(num_data: int | None = None, num_model: int = 1,
               devices=None) -> Mesh:
     """Build a ('data', 'model') mesh over the available devices."""

@@ -22,6 +22,7 @@ from voxelnet_tpu.models.voxelnet import build_model, init_params
 from voxelnet_tpu.ops import anchors as anchor_ops
 from voxelnet_tpu.ops import losses, targets as targets_ops
 from voxelnet_tpu.ops.voxelize import VoxelGridSpec, voxelize_batch_jax
+from voxelnet_tpu.parallel import execution_platform
 
 
 @flax.struct.dataclass
@@ -64,7 +65,7 @@ def _compute_target_maps(config: VoxelNetConfig, gt_boxes, gt_mask):
     return jax.vmap(one)(gt_boxes, gt_mask)
 
 
-def _voxelize(config: VoxelNetConfig, batch, mesh=None):
+def _voxelize(config: VoxelNetConfig, batch, mesh=None, platform=None):
     """-> (features, coords, counts, voxels_clipped-or-None).
 
     `features` is the (B, K, T, 7) table on the XLA path, or the RAW
@@ -72,27 +73,34 @@ def _voxelize(config: VoxelNetConfig, batch, mesh=None):
     'planar' (the model's PlanarFeatureLearningNet masks + featurizes
     it). voxels_clipped is the per-batch count of frames whose
     occupied-voxel count hit the static max_voxels cap (saturation
-    telemetry)."""
+    telemetry). `platform` keys the backend resolve + Pallas interpret
+    choice to the devices that will execute."""
     if "voxel_features" in batch:
         return (batch["voxel_features"], batch["voxel_coords"],
                 batch["voxel_counts"], None)
     from voxelnet_tpu.models.voxelnet import resolve_train_vfe_backend
+    from voxelnet_tpu.ops.voxelize import dequantize_points_i16
 
+    # train.upload_points='i16q' wire format dequantizes in-graph
+    batch = {**batch, "points": dequantize_points_i16(batch["points"])}
+    platform = execution_platform(mesh=mesh, platform=platform)
     spec = VoxelGridSpec.from_object_config(config.object)
-    if resolve_train_vfe_backend(config) == "planar":
+    if resolve_train_vfe_backend(config, platform) == "planar":
         from voxelnet_tpu.ops.voxelize import (
             voxelize_planar_t, voxelize_planar_t_sharded)
 
+        interpret = platform != "tpu"
         if mesh is None:
             tab_t, coords, counts, _, nvr = voxelize_planar_t(
                 batch["points"], batch["num_points"], spec,
-                config.data.max_voxels)
+                config.data.max_voxels, interpret=interpret)
         else:
             batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
                           else ("data",))
             tab_t, coords, counts, _, nvr = voxelize_planar_t_sharded(
                 batch["points"], batch["num_points"], spec,
-                config.data.max_voxels, mesh, batch_axes=batch_axes)
+                config.data.max_voxels, mesh, batch_axes=batch_axes,
+                interpret=interpret)
         clipped = (nvr > config.data.max_voxels).sum()
         return tab_t, coords, counts, clipped
     from voxelnet_tpu.ops.voxelize import resolve_backend
@@ -111,15 +119,18 @@ def make_train_step(config: VoxelNetConfig,
 
     `batch` needs points/num_points (device voxelization) or voxel buffers
     (host voxelization), plus gt_boxes (B, G, 7) and gt_mask (B, G).
-    `mesh`: the active device mesh, needed only so the planar-T Pallas
-    table build can shard_map over the batch axes.
+    `mesh`: the active device mesh — the planar-T Pallas table build
+    shard_maps over its batch axes, and its DEVICES (not the
+    process-global default backend) key the backend resolves; without it
+    the ambient mesh / default placement decides (execution_platform).
     """
-    model = build_model(config)
+    platform = execution_platform(mesh=mesh)
+    model = build_model(config, platform)
     tcfg = config.train
 
     def step_fn(state: TrainState, batch) -> tuple[TrainState, dict]:
         features, coords, counts, vox_clipped = _voxelize(config, batch,
-                                                          mesh)
+                                                          mesh, platform)
         if "target_pos" in batch:
             # host-precomputed targets (pipeline threads overlap this work
             # with the previous device step — see dataset.TargetPrecomputer)
@@ -170,11 +181,13 @@ def make_train_step(config: VoxelNetConfig,
 
 def make_eval_step(config: VoxelNetConfig, mesh=None):
     """Jitted fn(state, batch) -> (metrics, cls_probs, reg) for validation."""
-    model = build_model(config)
+    platform = execution_platform(mesh=mesh)
+    model = build_model(config, platform)
     tcfg = config.train
 
     def eval_fn(state: TrainState, batch):
-        features, coords, counts, _ = _voxelize(config, batch, mesh)
+        features, coords, counts, _ = _voxelize(config, batch, mesh,
+                                                platform)
         if "target_pos" in batch:
             pos, neg, reg_t = (batch["target_pos"], batch["target_neg"],
                                batch["target_reg"])

@@ -10,6 +10,7 @@ tracking — rebuilt around jitted steps, mesh sharding and Orbax resume
 
 from __future__ import annotations
 
+import collections
 import datetime
 import json
 import os
@@ -52,12 +53,16 @@ def make_exp_dir(base: str = "exps") -> str:
     return exp_dir
 
 
-def make_decode_fn(config: VoxelNetConfig):
+def make_decode_fn(config: VoxelNetConfig, mesh=None):
     """Jitted probs/deltas -> (NMS detections, per-frame candidate counts).
 
     The candidate count (anchors above the score threshold, pre-top-k) is
     saturation telemetry: counts above rpn.nms_pre_topk mean the static
-    top-k silently dropped candidates."""
+    top-k silently dropped candidates. `mesh` keys the top-k lowering to
+    the executing devices (parallel.execution_platform)."""
+    from voxelnet_tpu.parallel import execution_platform
+
+    platform = execution_platform(mesh=mesh)
     flat_anchors = jnp.asarray(anchor_ops.anchors_flat(config.object))
     obj, rpn_cfg = config.object, config.rpn
 
@@ -74,7 +79,8 @@ def make_decode_fn(config: VoxelNetConfig):
                 bx, sc, score_thresh=rpn_cfg.score_thres,
                 iou_thresh=rpn_cfg.nms_thres,
                 pre_topk=rpn_cfg.nms_pre_topk,
-                post_topk=rpn_cfg.nms_post_topk, mode=rpn_cfg.nms_mode)
+                post_topk=rpn_cfg.nms_post_topk, mode=rpn_cfg.nms_mode,
+                platform=platform)
 
         res = jax.vmap(one)(boxes, flat_probs)
         return Detections(res.boxes, res.scores, res.valid), n_candidates
@@ -156,7 +162,7 @@ class Trainer:
                 config, self.tx, jax.random.key(config.train.seed))
         self.train_step = make_train_step(config, self.tx, mesh=self.mesh)
         self.eval_step = make_eval_step(config, mesh=self.mesh)
-        self.decode_fn = make_decode_fn(config)
+        self.decode_fn = make_decode_fn(config, mesh=self.mesh)
         # host-side target assignment runs on the pipeline threads,
         # overlapped with device compute (train.host_targets)
         self.batch_transform = None
@@ -210,6 +216,14 @@ class Trainer:
     def _device_batch(self, batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
+        if (self.config.train.upload_points == "i16q"
+                and "points" in arrays
+                and arrays["points"].dtype == np.float32):
+            # int16 wire format: half the H2D bytes on the link that
+            # bounds end-to-end training; dequantized in-graph
+            # (ops/voxelize.dequantize_points_i16)
+            from voxelnet_tpu.ops.voxelize import quantize_points_i16
+            arrays["points"] = quantize_points_i16(arrays["points"])
         if self._multihost:
             from voxelnet_tpu.parallel import distributed
             return distributed.stage_global_batch(self.mesh, arrays)
@@ -358,12 +372,17 @@ class Trainer:
                 b = next(it, None)
                 return None if b is None else (b, self._device_batch(b))
 
-            # double buffering: batch i+1 is device_put while the device
-            # runs step i (jax dispatch is async; the transfer overlaps)
-            pending = stage_next()
+            # staging depth 2: batches i+1 AND i+2 are device_put while
+            # the device runs step i (jax dispatch is async; transfers
+            # overlap compute and each other on the tunnel link)
+            staged = collections.deque()
+            for _ in range(2):
+                nxt = stage_next()
+                if nxt is not None:
+                    staged.append(nxt)
             i = -1
-            while pending is not None:
-                batch, device_batch = pending
+            while staged:
+                batch, device_batch = staged.popleft()
                 i += 1
                 if profile_steps is not None:
                     if global_step == profile_steps[0] and not profiling:
@@ -378,7 +397,9 @@ class Trainer:
                     self.state, metrics = self.train_step(
                         self.state, device_batch)
                 global_step += 1
-                pending = stage_next()
+                nxt = stage_next()
+                if nxt is not None:
+                    staged.append(nxt)
 
                 want_print = (i + 1) % print_interval == 0 and self._is_main
                 # gate on the writer: without one _log is a no-op, and the
