@@ -79,7 +79,8 @@ def load_frames(max_points: int, batch: int, spec=None):
 
 
 def _make_stage_fn(stage: str, config, host_targets: bool = False,
-                   vfe_backend: str = "xla", host_voxelize: bool = False):
+                   vfe_backend: str = "xla", host_voxelize: bool = False,
+                   dense_build: str = "scatter"):
     """Build (jitted chained fn, metric label[, batch prep]) per stage.
 
     Stages mirror the BASELINE.json config ladder:
@@ -143,6 +144,11 @@ def _make_stage_fn(stage: str, config, host_targets: bool = False,
                 dense = (vw, coords, counts)
             elif middle_backend == "folded2d":
                 dense = scatter_to_dense_folded(
+                    vw, coords, counts, config.object.grid_size)
+            elif dense_build == "pallas":
+                from voxelnet_tpu.models.scatter import (
+                    scatter_to_dense_streamed)
+                dense = scatter_to_dense_streamed(
                     vw, coords, counts, config.object.grid_size)
             else:
                 dense = scatter_to_dense(
@@ -307,6 +313,10 @@ def main(argv=None):
                          "stage: 'planar' = Pallas run-copy table in "
                          "voxel-major layout + planar VFE "
                          "(data.train_vfe_backend)")
+    ap.add_argument("--dense-build", default="scatter",
+                    choices=("scatter", "pallas"),
+                    help="dense/middle stages: sparse->dense grid "
+                         "lowering (data.dense_build)")
     ap.add_argument("--batch", type=int, default=None,
                     help=f"frames per device batch (default {BATCH})")
     ap.add_argument("--repeats", type=int, default=3,
@@ -333,7 +343,8 @@ def main(argv=None):
     overrides = {"data": data_over} if data_over else {}
     config = get_config(args.class_name, **overrides)
     made = _make_stage_fn(args.stage, config, args.host_targets,
-                          args.vfe_backend, args.host_voxelize)
+                          args.vfe_backend, args.host_voxelize,
+                          args.dense_build)
     chained, label = made[0], made[1]
     prep = made[2] if len(made) > 2 else (lambda p, n: (p, n))
 

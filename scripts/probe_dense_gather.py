@@ -85,6 +85,10 @@ def main():
           "scatter (sorted+unique hints)")
     timed(lambda f, c, n: scatter_to_dense_gather(f, c, n, grid),
           "searchsorted + gather")
+    from voxelnet_tpu.models.scatter import scatter_to_dense_streamed
+
+    timed(lambda f, c, n: scatter_to_dense_streamed(f, c, n, grid),
+          "pallas streamed block-fill")
 
 
 if __name__ == "__main__":

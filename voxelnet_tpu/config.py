@@ -136,6 +136,15 @@ class DataConfig:
     # trailing; disable when feeding the model voxel buffers from any
     # other producer.
     scatter_hints: bool = True
+    # sparse->dense grid lowering: 'auto' | 'scatter' | 'pallas'.
+    # 'scatter' = XLA zero-init + row scatter (with scatter_hints);
+    # 'pallas' = the streaming block-fill kernel (kernels/dense_build.py
+    # — every grid byte written exactly once at streaming DMA sizes;
+    # requires the voxelizer-sorted buffer order, an unsharded graph,
+    # and shapes where a block size divides D*H*W). Measured EQUAL to
+    # the scatter on v5e (both ~245 GB/s effective — BASELINE.md), so
+    # 'auto' -> 'scatter' (models.voxelnet.resolve_dense_build).
+    dense_build: str = "auto"
     # eval-time BatchNorm folding in the INFERENCE graph: 'auto' | 'on' |
     # 'off'. BN is affine at eval; folding the affine into each conv's
     # kernel/bias (models/bn_fold.py) deletes every middle/RPN BN op and
@@ -191,12 +200,17 @@ class TrainConfig:
     # (int16, xyz quantized at 5 mm + reflectance at 1/32768 — HALF the
     # H2D bytes on the link that bounds end-to-end training; the train
     # step dequantizes in-graph, ~free elementwise). 5 mm is 2.5% of the
-    # smallest voxel edge (0.2 m) and ~1 ulp of f32 at x=70 m, so
-    # binning/AP effects are nil (equivalence-tested,
-    # tests/test_train.py); 'f32' keeps bit-identical parity with the
-    # reference pipeline. Measured end-to-end: scripts/probe_pipeline.py
-    # rows in BASELINE.md.
-    upload_points: str = "f32"
+    # smallest voxel edge (0.2 m) and ~1 ulp of f32 at x=70 m — well
+    # under the sensor's own noise — so binning/AP effects are nil
+    # (equivalence-tested, tests/test_train.py). Default 'i16q': on the
+    # H2D-bound end-to-end loop it measured 20.5 -> 22.9 f/s @B8
+    # (25.1 with staging depth 3 — BASELINE.md round-4 table). Set
+    # 'f32' for bit-identical parity with the reference pipeline.
+    upload_points: str = "i16q"
+    # batches device_put ahead of the running step: deeper staging keeps
+    # more H2D transfers in flight on the thin tunnel link (i16q e2e
+    # 22.9 f/s at depth 2 -> 25.1 at depth 3, BASELINE.md round 4)
+    staging_depth: int = 3
 
 
 @dataclass(frozen=True)

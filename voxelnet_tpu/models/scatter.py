@@ -48,6 +48,32 @@ def scatter_to_dense(voxel_features: jnp.ndarray, coords: jnp.ndarray,
     return jax.vmap(one)(voxel_features, coords, counts)
 
 
+def scatter_to_dense_streamed(voxel_features: jnp.ndarray,
+                              coords: jnp.ndarray, counts: jnp.ndarray,
+                              grid_dzyx: tuple[int, int, int],
+                              interpret: bool = False) -> jnp.ndarray:
+    """scatter_to_dense via the Pallas streaming block-fill kernel
+    (kernels/dense_build.py): every grid byte is written exactly once at
+    streaming DMA sizes instead of XLA's zero-init + row scatter.
+
+    Same voxelizer-ordered contract as `indices_sorted=True` (ascending
+    (z*H + y)*W + x per frame, padding trailing). Differentiable wrt
+    voxel_features. Callers pick it via
+    models.voxelnet.resolve_dense_build; shape constraints
+    (C % 128, K % 8, a block size dividing D*H*W) are checked there.
+    """
+    from voxelnet_tpu.kernels.dense_build import dense_build_pallas
+
+    D, H, W = grid_dzyx
+    n = D * H * W
+    linear = ((coords[..., 0] * H + coords[..., 1]) * W
+              + coords[..., 2]).astype(jnp.int32)
+    ids = jnp.where(counts > 0, linear, n)
+    dense = dense_build_pallas(voxel_features, ids, n, interpret)
+    b, _, c = voxel_features.shape
+    return dense.reshape(b, D, H, W, c)
+
+
 def scatter_to_dense_gather(voxel_features: jnp.ndarray,
                             coords: jnp.ndarray, counts: jnp.ndarray,
                             grid_dzyx: tuple[int, int, int]) -> jnp.ndarray:

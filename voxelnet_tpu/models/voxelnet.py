@@ -34,7 +34,7 @@ from voxelnet_tpu.models.middle import MiddleLayers
 from voxelnet_tpu.parallel import execution_platform
 from voxelnet_tpu.models.rpn import RPN
 from voxelnet_tpu.models.scatter import (
-    scatter_to_dense, scatter_to_dense_folded)
+    scatter_to_dense, scatter_to_dense_folded, scatter_to_dense_streamed)
 from voxelnet_tpu.models.vfe import FeatureLearningNet
 from voxelnet_tpu.ops import anchors as anchor_ops
 from voxelnet_tpu.ops import box_coding, nms
@@ -86,6 +86,12 @@ class VoxelNet(nn.Module):
     # fold_bn_variables-transformed params; every middle/RPN BN op is
     # skipped (the affine lives in the conv kernels). Eval graphs only.
     fold_bn: bool = False
+    # sparse->dense grid lowering: 'scatter' (XLA) | 'pallas' (streaming
+    # block-fill, kernels/dense_build.py; resolve_dense_build gates the
+    # shape/sharding constraints). dense_interpret runs the kernel in
+    # the Pallas interpreter off-TPU.
+    dense_backend: str = "scatter"
+    dense_interpret: bool = False
 
     @nn.compact
     def __call__(self, features, coords, counts, train: bool = False):
@@ -112,6 +118,12 @@ class VoxelNet(nn.Module):
         elif folded:
             dense = scatter_to_dense_folded(
                 voxelwise, coords, counts, self.grid_dzyx)
+        elif self.dense_backend == "pallas" and coords.shape[1] % 8 == 0:
+            # K % 8 is a kernel constraint; init_params traces with K=1
+            # dummies — those (and any odd bucket) take the scatter
+            dense = scatter_to_dense_streamed(
+                voxelwise, coords, counts, self.grid_dzyx,
+                interpret=self.dense_interpret)
         else:
             dense = scatter_to_dense(
                 voxelwise, coords, counts, self.grid_dzyx,
@@ -306,6 +318,8 @@ def build_model(config: VoxelNetConfig,
     platform = execution_platform(platform=platform)
     return VoxelNet(
         fold_bn=fold_bn,
+        dense_backend=resolve_dense_build(config, platform),
+        dense_interpret=platform != "tpu",
         grid_dzyx=config.object.grid_size,
         dtype=jnp.dtype(config.train.compute_dtype),
         bn_over_padding=config.compat.bn_over_padding,
@@ -389,6 +403,45 @@ def resolve_vfe_backend(config: VoxelNetConfig,
     return "xla"
 
 
+def resolve_dense_build(config: VoxelNetConfig,
+                        platform: str | None = None) -> str:
+    """Resolve data.dense_build for the sparse->dense grid lowering.
+
+    'auto' -> 'scatter': the Pallas streaming block-fill
+    (kernels/dense_build.py) measured EQUAL to the XLA scatter in the
+    real graph (310.3 vs 311.1 f/s on the voxelize+VFE+dense stage,
+    v5e B24; full graph 120.7 vs 121.0) — both sit at the same ~245
+    GB/s effective-write wall — and the kernel adds shape/sharding
+    constraints (a block size must divide D*H*W, max_voxels % 8 == 0,
+    no mesh partitioning), so the scatter stays the default.
+    Explicit 'pallas' raises on those constraints instead of silently
+    degrading."""
+    configured = getattr(config.data, "dense_build", "auto")
+    if configured not in ("auto", "scatter", "pallas"):
+        raise ValueError(
+            f"data.dense_build={configured!r} — expected 'auto', "
+            "'scatter' or 'pallas'")
+    from voxelnet_tpu.kernels.dense_build import pick_block_rows
+
+    sys_cfg = config.system
+    sharded = (sys_cfg.num_data_shards * sys_cfg.num_model_shards
+               * getattr(sys_cfg, "num_dcn_shards", 1)) > 1
+    D, H, W = config.object.grid_size
+    fits = (pick_block_rows(D * H * W) is not None
+            and config.data.max_voxels % 8 == 0)
+    if configured == "pallas":
+        if sharded:
+            raise ValueError(
+                "data.dense_build='pallas' does not partition over a "
+                "mesh — use 'scatter' (or 'auto') on sharded configs")
+        if not fits:
+            raise ValueError(
+                f"data.dense_build='pallas' needs a block size dividing "
+                f"D*H*W={D * H * W} and max_voxels % 8 == 0")
+        return configured
+    return "scatter"
+
+
 def resolve_fold_bn(config: VoxelNetConfig) -> bool:
     """Resolve data.fold_bn for the inference graph ('auto' -> on).
 
@@ -431,6 +484,7 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None,
     backend = resolve_backend(config.data.voxelizer_backend)
     vfe_backend = resolve_vfe_backend(config, platform)
     interpret = platform != "tpu"  # Pallas interpreter off-TPU
+    dense_backend = resolve_dense_build(config, platform)
 
     middle_backend = resolve_middle_backend(config, platform)
     sys_cfg = config.system
@@ -471,8 +525,12 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None,
         elif middle_backend == "folded2d":
             dense = scatter_to_dense_folded(
                 vw, coords, counts, config.object.grid_size)
-        else:
+        elif dense_backend == "pallas":
             # fused-kernel coords come from the same sorted run analysis
+            dense = scatter_to_dense_streamed(
+                vw, coords, counts, config.object.grid_size,
+                interpret=interpret)
+        else:
             dense = scatter_to_dense(
                 vw, coords, counts, config.object.grid_size,
                 indices_sorted=config.data.scatter_hints)

@@ -372,11 +372,13 @@ class Trainer:
                 b = next(it, None)
                 return None if b is None else (b, self._device_batch(b))
 
-            # staging depth 2: batches i+1 AND i+2 are device_put while
-            # the device runs step i (jax dispatch is async; transfers
-            # overlap compute and each other on the tunnel link)
+            # staging depth (train.staging_depth, default 3): the next
+            # D batches are device_put while the device runs step i —
+            # jax dispatch is async, so transfers overlap compute and
+            # each other on the tunnel link (measured ladder in
+            # BASELINE.md round 4)
             staged = collections.deque()
-            for _ in range(2):
+            for _ in range(max(1, cfg.train.staging_depth)):
                 nxt = stage_next()
                 if nxt is not None:
                     staged.append(nxt)
