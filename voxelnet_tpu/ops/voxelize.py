@@ -354,20 +354,25 @@ def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
         points, num_points, spec, max_voxels)
     idx = jnp.arange(N, dtype=jnp.int32)
 
-    # per-voxel run starts; padding voxels point at the zero tail (N)
-    slots = jnp.where(is_start & (voxel_slot < max_voxels),
-                      voxel_slot, max_voxels)
-    run_start = jnp.full((max_voxels,), N, jnp.int32).at[slots].set(
-        idx, mode="drop")
-    # counts from consecutive start differences (sentinel = number of
-    # valid points closes the last run and all padding; the FIRST overflow
-    # voxel's start closes the last kept voxel via start_cnt[max_voxels])
+    # ONE merged scatter builds run starts AND count boundaries (the
+    # r03 code paid two N-row scatters here — 14.9 ms of the 218 ms
+    # B24 inference graph, profiles/r4/trace_infer_r4.md — and XLA's
+    # row-scatter rate, not the tiny table size, is the cost):
+    # table M (max_voxels + 2,), init N; every run start writes its
+    # index at its voxel slot, the FIRST overflow voxel (slot ==
+    # max_voxels) closes the last kept voxel, all later rows drop.
     total_valid = sorted_valid.sum().astype(jnp.int32)
-    slots_cnt = jnp.where(is_start & (voxel_slot <= max_voxels),
-                          voxel_slot, max_voxels + 1)
-    start_cnt = jnp.full((max_voxels + 1,), total_valid,
-                         jnp.int32).at[slots_cnt].set(idx, mode="drop")
-    counts = jnp.clip(start_cnt[1:] - start_cnt[:-1], 0, T)
+    slots = jnp.where(is_start & (voxel_slot <= max_voxels),
+                      voxel_slot, max_voxels + 1)
+    starts = jnp.full((max_voxels + 2,), N, jnp.int32).at[slots].set(
+        idx, mode="drop")
+    run_start = starts[:max_voxels]
+    # counts from consecutive start differences; min(., total_valid)
+    # closes the last kept run when there is NO overflow voxel (its
+    # "next start" slot still holds the init N > total_valid) and
+    # zeroes all padding voxels (N - N)
+    closed = jnp.minimum(starts[: max_voxels + 1], total_valid)
+    counts = jnp.clip(closed[1:] - closed[:-1], 0, T)
 
     # coords from the K run-start KEYS (two divmods) — not carried
     # through the sort; padding voxels (run_start == N) hit the zero pad
