@@ -164,18 +164,17 @@ def voxelize_vfe_fused(points: jnp.ndarray, num_points: jnp.ndarray,
     if max_voxels % V:
         raise ValueError(f"max_voxels {max_voxels} % block {V} != 0")
 
-    (sorted_pts, run_start, counts, coords, num_voxels, _) = jax.vmap(
-        lambda p, n: _pallas_prepare(p, n, spec, max_voxels)
+    (planar4, run_start, counts, coords, num_voxels, _) = jax.vmap(
+        lambda p, n: _pallas_prepare(p, n, spec, max_voxels,
+                                     layout="planar")
     )(points, num_points)
-    b, n, _ = sorted_pts.shape
-    # channel-planar + zero lane tail so the last aligned window read
-    # (2 * VSTRIDE lanes from a VSTRIDE-aligned start <= n) stays in bounds
-    planar = jnp.concatenate([
-        sorted_pts.transpose(0, 2, 1),
-        jnp.zeros((b, 4, n), jnp.float32)], axis=1)
+    b, _, n = planar4.shape
+    # zero sublane pad (4 -> 8 channels for alignment) + zero lane tail
+    # so the last aligned window read (2 * VSTRIDE lanes from a
+    # VSTRIDE-aligned start <= n) stays in bounds; the planar layout
+    # itself comes straight from the sort columns (no transpose copy)
     npad = n + 2 * VSTRIDE
-    planar = jnp.concatenate(
-        [planar, jnp.zeros((b, 8, npad - n), jnp.float32)], axis=2)
+    planar = jnp.pad(planar4, ((0, 0), (0, 4), (0, npad - n)))
 
     def dense_affine(name, cin_pad):
         d = fln_params[name]["fcn"]

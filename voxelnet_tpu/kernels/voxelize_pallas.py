@@ -226,13 +226,16 @@ def _planar_t_kernel(tpad: int):
     return kernel
 
 
-def build_voxel_table_planar_t(sorted_pts: jnp.ndarray,
+def build_voxel_table_planar_t(planar4: jnp.ndarray,
                                run_start: jnp.ndarray,
                                max_voxels: int, T: int,
                                interpret: bool = False,
                                block_voxels: int = 128) -> jnp.ndarray:
-    """(B, N, 4) sorted points + (B, K) run starts -> voxel-major
-    (B, 4, TPAD, K) table, TPAD = T rounded up to the 8-sublane tile.
+    """(B, 4, N) channel-planar sorted points + (B, K) run starts ->
+    voxel-major (B, 4, TPAD, K) table, TPAD = T rounded up to the
+    8-sublane tile. The planar input comes straight from the sort
+    columns (ops.voxelize._pallas_prepare layout='planar') — no
+    transpose copy.
 
     The production planar-T entry point (ops.voxelize.voxelize_planar_t):
     same run-copy as `build_voxel_table_planar_raw`, but the transpose to
@@ -249,11 +252,10 @@ def build_voxel_table_planar_t(sorted_pts: jnp.ndarray,
     if max_voxels % V:
         raise ValueError(f"max_voxels {max_voxels} % block {V} != 0")
     tpad = _tpad(T)
-    b, n, _ = sorted_pts.shape
+    b, _, n = planar4.shape
     npad = n + 2 * _VSTRIDE
-    planar = jnp.concatenate([
-        sorted_pts.transpose(0, 2, 1),
-        jnp.zeros((b, 4, npad - n), jnp.float32)], axis=2)
+    planar = jnp.concatenate(
+        [planar4, jnp.zeros((b, 4, npad - n), jnp.float32)], axis=2)
 
     return pl.pallas_call(
         _planar_t_kernel(tpad),

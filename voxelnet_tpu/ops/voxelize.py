@@ -312,7 +312,12 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     (sort_ids, spx, spy, spz, spr) = jax.lax.sort(
         (linear, points[:, 0], points[:, 1], points[:, 2], points[:, 3]),
         num_keys=1)
-    sorted_pts = jnp.stack([spx, spy, spz, spr], axis=1)
+    # returned as COLUMNS: each consumer stacks in its own target
+    # layout (rows (N, 4) for the XLA table scatter, channel-planar
+    # (4, N) for the Pallas kernels) — stacking rows here and
+    # transposing later cost two ~160 MB layout copies per batch24
+    # (profiles/r4/trace_infer_r4.md copy.360-362)
+    sorted_cols = (spx, spy, spz, spr)
     sorted_valid = sort_ids < INVALID
 
     # Run starts — first point of each voxel in sorted order.
@@ -324,7 +329,7 @@ def _sort_stage(points, num_points, spec: VoxelGridSpec,
     voxel_slot = _cumsum_i32(is_start.astype(jnp.int32)) - 1
     num_voxels_raw = voxel_slot[-1] + 1
     num_voxels = jnp.minimum(num_voxels_raw, max_voxels)
-    return (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
+    return (sorted_cols, sort_ids, sorted_valid, is_start, voxel_slot,
             num_voxels, num_voxels_raw)
 
 
@@ -341,17 +346,23 @@ def _decode_zyx(linear_ids, spec: VoxelGridSpec):
 
 
 def _pallas_prepare(points, num_points, spec: VoxelGridSpec,
-                    max_voxels: int):
+                    max_voxels: int, layout: str = "rows"):
     """Per-frame stage 2 (Pallas path): run starts / counts / coords.
 
-    Pure vector ops plus two small (K_max-target) scatters — safe under
+    Pure vector ops plus one small (K_max-target) scatter — safe under
     vmap; the table copy itself happens in the batched Pallas kernel.
+    `layout`: 'rows' returns the sorted points as (N, 4); 'planar'
+    returns channel-planar (4, N) — the layout the Pallas kernels
+    consume, stacked straight from the sort columns so no transpose
+    copy ever materializes.
     """
     T = spec.max_points_per_voxel
     N = points.shape[0]
-    (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
+    (sorted_cols, sort_ids, sorted_valid, is_start, voxel_slot,
      num_voxels, num_voxels_raw) = _sort_stage(
         points, num_points, spec, max_voxels)
+    sorted_pts = jnp.stack(sorted_cols, axis=0 if layout == "planar"
+                           else 1)
     idx = jnp.arange(N, dtype=jnp.int32)
 
     # ONE merged scatter builds run starts AND count boundaries (the
@@ -430,12 +441,13 @@ def voxelize_planar_t(points: jnp.ndarray, num_points: jnp.ndarray,
         build_voxel_table_planar_t)
 
     T = spec.max_points_per_voxel
-    (sorted_pts, run_start, counts, coords, num_voxels,
+    (planar4, run_start, counts, coords, num_voxels,
      num_voxels_raw) = jax.vmap(
-        lambda p, n: _pallas_prepare(p, n, spec, max_voxels)
+        lambda p, n: _pallas_prepare(p, n, spec, max_voxels,
+                                     layout="planar")
     )(points, num_points)
     tab_t = build_voxel_table_planar_t(
-        sorted_pts, run_start, max_voxels, T, interpret=interpret)
+        planar4, run_start, max_voxels, T, interpret=interpret)
     tab_t = tab_t[:, :, :T, :]
     return tab_t, coords, counts, num_voxels, num_voxels_raw
 
@@ -544,9 +556,10 @@ def voxelize_jax(points: jnp.ndarray, num_points: jnp.ndarray,
         raise ValueError(f"unknown voxelizer backend {backend!r}")
 
     N = points.shape[0]
-    (sorted_pts, sort_ids, sorted_valid, is_start, voxel_slot,
+    (sorted_cols, sort_ids, sorted_valid, is_start, voxel_slot,
      num_voxels, num_voxels_raw) = _sort_stage(
         points, num_points, spec, max_voxels)
+    sorted_pts = jnp.stack(sorted_cols, axis=1)
     idx = jnp.arange(N, dtype=jnp.int32)
 
     run_start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
