@@ -83,8 +83,28 @@ def main():
     tx = make_optimizer(config, steps)
     state = create_train_state(config, tx, jax.random.key(0))
     train_step = make_train_step(config, tx)
-    transform = TargetPrecomputer(config) if config.train.host_targets \
-        else None
+    transforms = []
+    if config.train.host_targets:
+        transforms.append(TargetPrecomputer(config))
+    if args.upload == "i16q":
+        # quantize on the worker threads, like the production trainer
+        from voxelnet_tpu.ops.voxelize import quantize_points_i16
+        import numpy as _np
+
+        def _quantize(batch):
+            pts = batch.get("points")
+            if pts is not None and pts.dtype == _np.float32:
+                batch = dict(batch)
+                batch["points"] = quantize_points_i16(pts)
+            return batch
+
+        transforms.append(_quantize)
+    transform = None
+    if transforms:
+        def transform(batch, _ts=tuple(transforms)):  # noqa: F811
+            for t in _ts:
+                batch = t(batch)
+            return batch
     workers = args.workers or config.train.num_workers
 
     def run_epoch(epoch):
@@ -101,9 +121,6 @@ def main():
 
             arrays = {k: v for k, v in b.items()
                       if isinstance(v, np.ndarray)}
-            if args.upload == "i16q" and "points" in arrays:
-                from voxelnet_tpu.ops.voxelize import quantize_points_i16
-                arrays["points"] = quantize_points_i16(arrays["points"])
             return {k: jax.device_put(v) for k, v in arrays.items()}
 
         nonlocal state

@@ -136,6 +136,15 @@ class DataConfig:
     # trailing; disable when feeding the model voxel buffers from any
     # other producer.
     scatter_hints: bool = True
+    # in-RAM frame cache budget (MB, 0 = off): after the first epoch the
+    # pipeline skips the per-frame .bin read (and the grid crop when
+    # augmentation is off — the cached entry is already cropped). Fill
+    # until the budget, then pass-through — no eviction (epoch-cyclic
+    # access would thrash an LRU). 512 MB holds ~170 cropped Car frames;
+    # full KITTI training (3712 frames) partially fits, which still
+    # saves that fraction of host work. The reference re-reads every
+    # file every epoch (voxelnet/dataset.py:50-51).
+    cache_frames_mb: int = 512
     # sparse->dense grid lowering: 'auto' | 'scatter' | 'pallas'.
     # 'scatter' = XLA zero-init + row scatter (with scatter_hints);
     # 'pallas' = the streaming block-fill kernel (kernels/dense_build.py

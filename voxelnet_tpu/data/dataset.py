@@ -65,6 +65,19 @@ class KITTIDataset:
             self._voxelize = resolve_host_voxelizer(
                 config.data.host_voxelizer)
 
+        # bounded in-RAM frame cache: epochs after the first skip the
+        # .bin read (and the grid crop, when no augmentation moves
+        # points across the boundary). Fill-until-budget, no eviction —
+        # epoch-cyclic access would thrash an LRU. Threads share it
+        # (pipeline workers); entries are treated as immutable.
+        import threading
+
+        mb = getattr(config.data, "cache_frames_mb", 0)
+        self._frame_cache: dict | None = {} if mb > 0 else None
+        self._cache_budget = mb * (1 << 20)
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+
         velo_dir = os.path.join(data_dir, "velodyne")
         self.tags = sorted(
             f[:-4] for f in os.listdir(velo_dir) if f.endswith(".bin"))
@@ -96,11 +109,33 @@ class KITTIDataset:
             os.path.join(self.data_dir, "label_2", tag + ".txt"),
         )
 
+    def _load_points(self, tag: str, velo_path: str) -> np.ndarray:
+        """Raw cloud, through the frame cache. When augmentation is off
+        the cached entry is already grid-cropped (crop is
+        deterministic then); with augmentation on, the raw cloud is
+        cached and a copy handed out (augment ops may write in place).
+        Callers must not mutate the no-augment return."""
+        cache = self._frame_cache
+        pre_crop = (not self.augment) and self.config.data.crop_to_grid
+        if cache is None:
+            return kitti.read_point_cloud(velo_path)
+        hit = cache.get(tag)
+        if hit is not None:
+            return hit.copy() if self.augment else hit
+        points = kitti.read_point_cloud(velo_path)
+        if pre_crop:
+            points = voxelize_lib.crop_points(points, self.spec)
+        with self._cache_lock:
+            if self._cache_bytes + points.nbytes <= self._cache_budget:
+                cache[tag] = points
+                self._cache_bytes += points.nbytes
+        return points.copy() if self.augment else points
+
     def __getitem__(self, idx: int) -> Example:
         rng = self._item_rng(idx)
         tag = self.tags[idx]
         img_path, velo_path, label_path = self._paths(tag)
-        points = kitti.read_point_cloud(velo_path)
+        points = self._load_points(tag, velo_path)
 
         label_lines: list[str] = []
         if not self.test and os.path.exists(label_path):
@@ -128,9 +163,12 @@ class KITTIDataset:
         gt_boxes, gt_mask = kitti.pad_gt_boxes(
             gt_lidar, self.config.data.max_gt_boxes)
 
-        if self.config.data.crop_to_grid:
+        if self.config.data.crop_to_grid and (
+                self.augment or self._frame_cache is None):
             # after augmentation (global rotation/scale move points across
-            # the grid boundary), before the cap — see DataConfig
+            # the grid boundary), before the cap — see DataConfig. The
+            # no-augment cache path stores already-cropped clouds
+            # (_load_points) so the crop is skipped here.
             points = voxelize_lib.crop_points(points, self.spec)
         if self.config.data.shuffle_points:
             points = points[rng.permutation(len(points))]

@@ -163,12 +163,32 @@ class Trainer:
         self.train_step = make_train_step(config, self.tx, mesh=self.mesh)
         self.eval_step = make_eval_step(config, mesh=self.mesh)
         self.decode_fn = make_decode_fn(config, mesh=self.mesh)
-        # host-side target assignment runs on the pipeline threads,
-        # overlapped with device compute (train.host_targets)
-        self.batch_transform = None
+        # host-side work that belongs on the pipeline threads (overlapped
+        # with device compute): target assignment (train.host_targets)
+        # and the i16q wire-format quantization (otherwise it runs on
+        # the consumer thread between step dispatches)
+        transforms = []
         if config.train.host_targets:
             from voxelnet_tpu.ops.targets import TargetPrecomputer
-            self.batch_transform = TargetPrecomputer(config)
+            transforms.append(TargetPrecomputer(config))
+        if config.train.upload_points == "i16q":
+            from voxelnet_tpu.ops.voxelize import quantize_points_i16
+
+            def _quantize(batch):
+                pts = batch.get("points")
+                if pts is not None and pts.dtype == np.float32:
+                    batch = dict(batch)
+                    batch["points"] = quantize_points_i16(pts)
+                return batch
+
+            transforms.append(_quantize)
+        self.batch_transform = None
+        if transforms:
+            def chain(batch, _ts=tuple(transforms)):
+                for t in _ts:
+                    batch = t(batch)
+                return batch
+            self.batch_transform = chain
 
         self.ckpt = ckpt_lib.CheckpointManager(
             os.path.join(self.exp_dir, "checkpoints"),
