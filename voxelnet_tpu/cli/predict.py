@@ -36,7 +36,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Orbax checkpoint path (omit for random weights)")
     p.add_argument("--pcl", type=str, required=True,
-                   help=".bin file or directory of .bin files (all are processed)")
+                   help=".bin file, a directory of .bin files (all are "
+                        "processed), or 'sample[:N]' for the N-th "
+                        "vendored demo frame (voxelnet_tpu/data/"
+                        "sample_frames — no dataset needed)")
     p.add_argument("--class-name", type=str, default="Car")
     p.add_argument("--cfg", type=str, default=None)
     args = p.parse_args(argv)
@@ -52,17 +55,31 @@ def main(argv=None):
     else:
         variables = init_params(config, jax.random.key(0))
 
-    if os.path.isdir(args.pcl):
-        paths = sorted(glob.glob(os.path.join(args.pcl, "*.bin")))
-        if not paths:
+    if args.pcl == "sample" or args.pcl.startswith("sample:"):
+        # vendored demo frames — runnable with zero external data
+        from voxelnet_tpu.data.sample import sample_frames
+
+        frames = sample_frames()
+        if not frames:
+            raise SystemExit("no vendored sample frames found")
+        i = int(args.pcl.split(":", 1)[1]) if ":" in args.pcl else 0
+        if not 0 <= i < len(frames):
+            raise SystemExit(
+                f"sample index {i} out of range (have {len(frames)})")
+        paths = [(f"sample:{i}", frames[i])]
+    elif os.path.isdir(args.pcl):
+        found = sorted(glob.glob(os.path.join(args.pcl, "*.bin")))
+        if not found:
             raise SystemExit(f"no .bin files in {args.pcl!r}")
+        paths = [(p, None) for p in found]
     else:
-        paths = [args.pcl]
+        paths = [(args.pcl, None)]
 
     infer = jax.jit(make_inference_fn(config))
     rng = np.random.default_rng(0)
-    for path in paths:
-        pcl = kitti.read_point_cloud(path)
+    for path, pcl in paths:
+        if pcl is None:
+            pcl = kitti.read_point_cloud(path)
         if config.data.crop_to_grid:
             # same pre-cap grid crop as the training pipeline
             # (data/dataset.py) — keeps the cap from dropping in-grid
