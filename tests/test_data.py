@@ -251,8 +251,12 @@ def test_crop_to_grid_keeps_in_grid_points(kitti_dir, tiny_config):
 
     data_on = replace(tiny_config.data, max_points=512, crop_to_grid=True)
     data_off = replace(tiny_config.data, max_points=512, crop_to_grid=False)
-    cfg_on = replace(tiny_config, data=data_on)
-    cfg_off = replace(tiny_config, data=data_off)
+    # f32 wire format: this test reads Example.points as meters (the
+    # i16q default emits the quantized wire format, where a boundary
+    # point may round just outside the grid — dropped on device, fine)
+    train_f32 = replace(tiny_config.train, upload_points="f32")
+    cfg_on = replace(tiny_config, data=data_on, train=train_f32)
+    cfg_off = replace(tiny_config, data=data_off, train=train_f32)
     spec = VoxelGridSpec.from_object_config(tiny_config.object)
 
     ex_on = KITTIDataset(kitti_dir, cfg_on)[0]

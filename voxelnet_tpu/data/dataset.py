@@ -30,7 +30,9 @@ from voxelnet_tpu.utils import kitti
 @dataclass
 class Example:
     tag: str
-    points: np.ndarray       # (N_max, 4)
+    points: np.ndarray       # (N_max, 4) f32 — or i16 wire format when
+                             # train.upload_points='i16q' (KITTIDataset.
+                             # _emit_i16; the jitted step dequantizes)
     num_points: np.int32
     gt_boxes: np.ndarray     # (G_max, 7) lidar
     gt_mask: np.ndarray      # (G_max,) bool
@@ -109,22 +111,40 @@ class KITTIDataset:
             os.path.join(self.data_dir, "label_2", tag + ".txt"),
         )
 
+    @property
+    def _emit_i16(self) -> bool:
+        """Emit the int16 wire format straight from the dataset: the
+        per-point quantization happens ONCE (cached), and every
+        downstream copy (shuffle gather, pad, collate stack, device
+        staging) moves half the bytes. Only when the device graph will
+        dequantize (train.upload_points='i16q') and the points are not
+        consumed in f32 on the host (host_voxelize, augmentation)."""
+        return (self.config.train.upload_points == "i16q"
+                and not self.host_voxelize and not self.augment)
+
     def _load_points(self, tag: str, velo_path: str) -> np.ndarray:
         """Raw cloud, through the frame cache. When augmentation is off
         the cached entry is already grid-cropped (crop is
-        deterministic then); with augmentation on, the raw cloud is
-        cached and a copy handed out (augment ops may write in place).
-        Callers must not mutate the no-augment return."""
+        deterministic then) and, in i16q mode, already quantized; with
+        augmentation on, the raw f32 cloud is cached and a copy handed
+        out (augment ops may write in place). Callers must not mutate
+        the no-augment return."""
         cache = self._frame_cache
         pre_crop = (not self.augment) and self.config.data.crop_to_grid
+
+        def prepare(points):
+            if pre_crop:
+                points = voxelize_lib.crop_points(points, self.spec)
+            if self._emit_i16:
+                points = voxelize_lib.quantize_points_i16(points)
+            return points
+
         if cache is None:
-            return kitti.read_point_cloud(velo_path)
+            return prepare(kitti.read_point_cloud(velo_path))
         hit = cache.get(tag)
         if hit is not None:
             return hit.copy() if self.augment else hit
-        points = kitti.read_point_cloud(velo_path)
-        if pre_crop:
-            points = voxelize_lib.crop_points(points, self.spec)
+        points = prepare(kitti.read_point_cloud(velo_path))
         with self._cache_lock:
             if self._cache_bytes + points.nbytes <= self._cache_budget:
                 cache[tag] = points
@@ -168,12 +188,16 @@ class KITTIDataset:
             # after augmentation (global rotation/scale move points across
             # the grid boundary), before the cap — see DataConfig. The
             # no-augment cache path stores already-cropped clouds
-            # (_load_points) so the crop is skipped here.
+            # (_load_points) so the crop is skipped here. In i16q mode
+            # _load_points already quantized (order-independent per-point
+            # op), so `points` may be int16 here; the crop never sees
+            # int16 (quantization only happens on the no-augment path).
             points = voxelize_lib.crop_points(points, self.spec)
         if self.config.data.shuffle_points:
             points = points[rng.permutation(len(points))]
         n = min(len(points), self.config.data.max_points)
-        pts = np.zeros((self.config.data.max_points, 4), np.float32)
+        pts = np.zeros((self.config.data.max_points, 4), points.dtype
+                       if points.dtype == np.int16 else np.float32)
         pts[:n] = points[:n]
 
         ex = Example(

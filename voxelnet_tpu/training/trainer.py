@@ -326,6 +326,11 @@ class Trainer:
 
             points = np.asarray(batch["points"][0])
             points = points[: int(batch["num_points"][0])]
+            if points.dtype == np.int16:
+                # i16q wire format (data pipeline emits quantized)
+                from voxelnet_tpu.ops.voxelize import POINT_I16_SCALES
+                points = points.astype(np.float32) * np.asarray(
+                    POINT_I16_SCALES, np.float32)
             bev = viz.lidar_to_bev_image(points, self.config.object,
                                          factor=2)
             bev = viz.draw_boxes3d_on_bev(bev, boxes, self.config.object,
