@@ -54,6 +54,31 @@ def test_dryrun_multichip_entrypoint():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_shaped():
+    """Run dryrun_multichip(8) in a subprocess that does NOT inherit this
+    suite's forced-CPU platform (conftest.py) — the only in-repo executable
+    that resembles the driver environment, where the axon TPU plugin is
+    registered and possibly version-skewed. The dryrun must pin itself to
+    the CPU platform before any JAX client init and never touch the TPU
+    client (VERDICT r04 #1: MULTICHIP_r03/r04 both failed exactly here
+    while this suite stayed green under the conftest platform).
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = repo
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "dryrun_multichip(8)" in r.stdout
+
+
 def test_spatial_sharding_matches_unsharded(tiny_config, tiny_batch):
     """W-axis spatial sharding of the BEV grid (XLA halo exchange) must be
     numerically equivalent to the unsharded forward."""
