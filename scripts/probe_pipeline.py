@@ -52,9 +52,11 @@ def main():
     ap.add_argument("--upload", default="f32", choices=("f32", "i16q"),
                     help="point wire format (train.upload_points): "
                          "'i16q' halves the per-step H2D bytes")
-    ap.add_argument("--depth", type=int, default=2,
+    ap.add_argument("--depth", type=int, default=None,
                     help="staging depth: batches device_put ahead of "
-                         "the running step (trainer default 2)")
+                         "the running step (default: the train config's "
+                         "staging_depth, so probe numbers match the "
+                         "trainer)")
     args = ap.parse_args()
 
     from voxelnet_tpu.cli.train import _apply_platform_override
@@ -78,6 +80,8 @@ def main():
                "host_targets": args.host_targets == "on",
                "upload_points": args.upload},
     )
+    if args.depth is None:
+        args.depth = config.train.staging_depth
     ds = KITTIDataset(args.data, config, host_voxelize=host_vox)
     steps = max(1, len(ds) // args.batch)
     tx = make_optimizer(config, steps)

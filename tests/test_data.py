@@ -266,3 +266,29 @@ def test_crop_to_grid_keeps_in_grid_points(kitti_dir, tiny_config):
     assert in_grid_mask(kept_on, spec).all()
     assert in_grid_mask(kept_on, spec).sum() >= in_grid_mask(
         kept_off, spec).sum()
+
+
+def test_i16q_cache_off_preserves_points(kitti_dir, tiny_config):
+    """cache_frames_mb=0 + i16q + crop_to_grid must not re-crop the
+    already-quantized int16 cloud (5mm units vs meter-scale bounds would
+    drop nearly every point — ADVICE r04 high)."""
+    from dataclasses import replace
+
+    data_nocache = replace(tiny_config.data, cache_frames_mb=0,
+                           crop_to_grid=True)
+    cfg = replace(tiny_config, data=data_nocache,
+                  train=replace(tiny_config.train, upload_points="i16q"))
+    assert cfg.train.upload_points == "i16q"
+    ds = KITTIDataset(kitti_dir, cfg)
+    assert ds._frame_cache is None
+    ex = ds[0]
+    assert ex.points.dtype == np.int16
+
+    # twin with the cache on — identical point count and identical
+    # quantized payload (crop must behave the same either way)
+    cfg_cached = replace(cfg, data=replace(data_nocache, cache_frames_mb=64))
+    ds2 = KITTIDataset(kitti_dir, cfg_cached)
+    ex2 = ds2[0]
+    assert int(ex.num_points) == int(ex2.num_points)
+    assert int(ex.num_points) > 2000  # nearly all 3000 in-grid points kept
+    np.testing.assert_array_equal(ex.points, ex2.points)

@@ -183,15 +183,15 @@ class KITTIDataset:
         gt_boxes, gt_mask = kitti.pad_gt_boxes(
             gt_lidar, self.config.data.max_gt_boxes)
 
-        if self.config.data.crop_to_grid and (
-                self.augment or self._frame_cache is None):
+        if self.config.data.crop_to_grid and self.augment:
             # after augmentation (global rotation/scale move points across
             # the grid boundary), before the cap — see DataConfig. The
-            # no-augment cache path stores already-cropped clouds
-            # (_load_points) so the crop is skipped here. In i16q mode
-            # _load_points already quantized (order-independent per-point
-            # op), so `points` may be int16 here; the crop never sees
-            # int16 (quantization only happens on the no-augment path).
+            # no-augment path already cropped in _load_points (pre_crop
+            # is independent of the cache), and in i16q mode also
+            # quantized — re-cropping here would mask 5mm-unit int16
+            # coords against meter-scale bounds and drop nearly every
+            # point (ADVICE r04 high). Quantization only happens on the
+            # no-augment path, so this crop never sees int16.
             points = voxelize_lib.crop_points(points, self.spec)
         if self.config.data.shuffle_points:
             points = points[rng.permutation(len(points))]

@@ -22,6 +22,9 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_AMBIENT_MESH_WARNED = False
+
+
 def execution_platform(mesh=None, platform: str | None = None) -> str:
     """Platform ('tpu' | 'cpu' | ...) of the devices that will EXECUTE.
 
@@ -49,10 +52,28 @@ def execution_platform(mesh=None, platform: str | None = None) -> str:
 
         concrete = _mesh_lib.get_concrete_mesh()
         devs = getattr(concrete, "devices", None)
-        if devs is not None and getattr(devs, "size", 0):
+        # the empty Mesh() outside any set_mesh context carries an object
+        # array holding None — that's the normal priority-4 fall-through,
+        # not version drift
+        if (devs is not None and getattr(devs, "size", 0)
+                and devs.flat[0] is not None):
             return devs.flat[0].platform
-    except Exception:  # pragma: no cover - private-API drift tolerance
-        pass
+    except (ImportError, AttributeError):  # pragma: no cover
+        # Private-API drift: silently ignoring a broad failure here would
+        # reintroduce the r03 escape (non-interpret Pallas compiled for a
+        # CPU mesh under a registered TPU plugin), so only the two
+        # module-shape errors are tolerated — and loudly, once.
+        global _AMBIENT_MESH_WARNED
+        if not _AMBIENT_MESH_WARNED:
+            _AMBIENT_MESH_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "jax._src.mesh.get_concrete_mesh unavailable (JAX version "
+                "drift); execution_platform falls back to "
+                "jax.default_backend(), which may disagree with an ambient "
+                "jax.set_mesh(...) context. Pass mesh= explicitly.",
+                RuntimeWarning, stacklevel=2)
     return jax.default_backend()
 
 

@@ -584,6 +584,11 @@ class Trainer:
         os.makedirs(vis_dir, exist_ok=True)
         gt = np.asarray(batch["gt_boxes"][b])[np.asarray(batch["gt_mask"][b])]
         points = np.asarray(batch["points"][b])[: int(batch["num_points"][b])]
+        if points.dtype == np.int16:
+            # i16q wire format (val batches carry it too — ADVICE r04)
+            from voxelnet_tpu.ops.voxelize import POINT_I16_SCALES
+            points = points.astype(np.float32) * np.asarray(
+                POINT_I16_SCALES, np.float32)
 
         img_path = os.path.join(self.val_ds.data_dir, "image_2", tag + ".png")
         img = cv2.imread(img_path) if os.path.exists(img_path) else None
