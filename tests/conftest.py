@@ -20,6 +20,29 @@ import pytest  # noqa: E402
 
 assert jax.device_count() == 8, jax.devices()
 
+# --- quick tier (`-m quick`): a <5-min core so commits can be gated fast;
+# the compile-heavy model/train/sharding modules dominate the ~50-min full
+# suite and run once per round instead ---
+_QUICK_MODULES = {
+    "test_config", "test_geometry", "test_kitti_io", "test_data",
+    "test_evaluate", "test_tools", "test_ops", "test_raw_drive",
+    "test_raw_to_kitti", "test_reference_api",
+}
+_QUICK_TESTS = {
+    # one voxelizer compile + the no-recompile invariant, one train smoke
+    ("test_voxelize", "test_jax_matches_np"),
+    ("test_voxelize", "test_no_recompile_across_counts"),
+    ("test_train", "test_train_step_decreases_loss"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in _QUICK_MODULES or (mod, name) in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def tiny_config():
