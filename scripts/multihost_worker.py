@@ -116,6 +116,7 @@ def main():
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from voxelnet_tpu.config import get_config
     from voxelnet_tpu.parallel import distributed
     from voxelnet_tpu.training import create_train_state, make_train_step
     from voxelnet_tpu.training.optim import make_optimizer
@@ -156,6 +157,35 @@ def main():
     # EVERY process reports — the parent asserts cross-process agreement
     # (the DCN gradient all-reduce must leave all replicas in lockstep)
     print(f"LOSS {loss:.8f} GRADNORM {gnorm:.8f} PID {pid}", flush=True)
+
+    # --- stage 2: the PRODUCTION train resolves under the multi-host
+    # mesh — wpack2 middle + planar-T Pallas table build (shard_mapped
+    # over ('dcn', 'data'), interpret off-TPU) + dsplit BEV fold — the
+    # same graph 'auto' picks on the chip, like the single-process
+    # dryrun_multichip stage 2 (VERDICT r04 #8) ---
+    prod_cfg = get_config(
+        "Car",
+        system={"num_dcn_shards": nproc, "num_data_shards": DEV_PER_PROC,
+                "num_model_shards": 1},
+        object={"x_max": 12.8, "y_min": -6.4, "y_max": 6.4},
+        data={"max_points": 2048, "max_voxels": 256, "max_gt_boxes": 8,
+              "middle_backend": "wpack2", "train_vfe_backend": "planar",
+              "bev_fold": "dsplit"},
+        train={"batch_size": GLOBAL_BATCH, "compute_dtype": "float32"},
+    )
+    tx2 = make_optimizer(prod_cfg, steps_per_epoch=10)
+    with jax.default_device(jax.local_devices()[0]):
+        state2 = create_train_state(prod_cfg, tx2, jax.random.key(0))
+    state2 = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            repl, np.asarray(x)), state2)
+    step2 = make_train_step(prod_cfg, tx2, donate=False, mesh=mesh)
+    state2, m2 = step2(state2, staged)
+    ploss = float(jax.device_get(m2["loss"]))
+    pgnorm = float(jax.device_get(m2["grad_norm"]))
+    assert np.isfinite(ploss)
+    print(f"PRODLOSS {ploss:.8f} PRODGRADNORM {pgnorm:.8f} PID {pid} "
+          "RESOLVES middle=wpack2 vfe=planar fold=dsplit", flush=True)
     jax.distributed.shutdown()
 
 
