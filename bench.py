@@ -317,6 +317,11 @@ def main(argv=None):
                     choices=("scatter", "pallas"),
                     help="dense/middle stages: sparse->dense grid "
                          "lowering (data.dense_build)")
+    ap.add_argument("--remat", default=None,
+                    choices=("none", "seams", "full"),
+                    help="train stage: override train.remat (forward "
+                         "rematerialization in backward — the HBM lever "
+                         "for large train batches; see config.TrainConfig)")
     ap.add_argument("--batch", type=int, default=None,
                     help=f"frames per device batch (default {BATCH})")
     ap.add_argument("--repeats", type=int, default=3,
@@ -341,6 +346,8 @@ def main(argv=None):
     if args.stage == "train" and args.vfe_backend == "planar":
         data_over["train_vfe_backend"] = "planar"
     overrides = {"data": data_over} if data_over else {}
+    if args.remat is not None:
+        overrides["train"] = {"remat": args.remat}
     config = get_config(args.class_name, **overrides)
     made = _make_stage_fn(args.stage, config, args.host_targets,
                           args.vfe_backend, args.host_voxelize,

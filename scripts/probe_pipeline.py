@@ -57,6 +57,14 @@ def main():
                          "the running step (default: the train config's "
                          "staging_depth, so probe numbers match the "
                          "trainer)")
+    ap.add_argument("--decompose", action="store_true",
+                    help="price the end-to-end residual to a floor "
+                         "(VERDICT r04 #4): measure the three overlapped "
+                         "components separately — host pipeline rate (no "
+                         "device), H2D staging rate (no step), device "
+                         "step rate (pre-staged) — and print the "
+                         "perfect-overlap floor next to the measured "
+                         "end-to-end epochs")
     args = ap.parse_args()
 
     from voxelnet_tpu.cli.train import _apply_platform_override
@@ -149,6 +157,74 @@ def main():
     wall, n, loss = run_epoch(0)  # warmup: compile + cache fill
     print(f"warmup epoch: {wall:.1f}s ({n} steps, loss {loss:.3f})",
           file=sys.stderr)
+
+    if args.decompose:
+        import numpy as np
+
+        # --- component 1: host pipeline alone (workers + transforms,
+        # no device_put, no step) ---
+        ds.set_epoch(100)
+        t0 = time.perf_counter()
+        nb = 0
+        host_batches = []
+        for b in LazyBatchIterator(ds, args.batch, shuffle=True, seed=100,
+                                   workers=workers, transform=transform):
+            nb += 1
+            if len(host_batches) < args.depth + 1:
+                host_batches.append({
+                    k: v for k, v in b.items()
+                    if isinstance(v, np.ndarray)})
+        host_s = (time.perf_counter() - t0) / nb
+        bytes_per_batch = sum(v.nbytes for v in host_batches[0].values())
+
+        # --- component 2: H2D staging alone. One value fetch costs a
+        # 30-60 ms tunnel round trip (CLAUDE.md), so time K puts + 1
+        # fetch vs 1 put + 1 fetch and difference out the sync ---
+        import jax.numpy as jnp
+
+        @jax.jit
+        def touch(batch):
+            return sum(jnp.ravel(v)[0].astype(jnp.float32)
+                       for v in batch.values())
+
+        def puts(k):
+            t0 = time.perf_counter()
+            last = None
+            for i in range(k):
+                last = {kk: jax.device_put(vv)
+                        for kk, vv in host_batches[i % len(host_batches)
+                                                   ].items()}
+            float(touch(last))
+            return time.perf_counter() - t0
+        puts(2)  # compile touch + warm the path
+        t_many, t_one = puts(24), puts(1)
+        h2d_s = max(t_many - t_one, 1e-9) / 23
+
+        # --- component 3: device step alone (pre-staged buffers,
+        # chained, one fetch) ---
+        staged = [{k: jax.device_put(v) for k, v in hb.items()}
+                  for hb in host_batches]
+        nsteps = 24
+        t0 = time.perf_counter()
+        st = state
+        m = None
+        for i in range(nsteps):
+            st, m = train_step(st, staged[i % len(staged)])
+        float(m["loss"])
+        dev_s = (time.perf_counter() - t0) / nsteps
+
+        floor_s = max(host_s, h2d_s, dev_s)
+        print(json.dumps({
+            "metric": "end-to-end residual decomposition (s/batch)",
+            "batch": args.batch,
+            "host_pipeline": round(host_s, 4),
+            "h2d_staging": round(h2d_s, 4),
+            "h2d_bytes_per_batch": int(bytes_per_batch),
+            "device_step": round(dev_s, 4),
+            "perfect_overlap_floor_fps": round(args.batch / floor_s, 2),
+            "sum_serial_fps": round(
+                args.batch / (host_s + h2d_s + dev_s), 2),
+        }))
     fps = []
     for e in range(1, args.epochs + 1):
         wall, n, loss = run_epoch(e)

@@ -111,6 +111,10 @@ def main():
     ap.add_argument("--eval-frames", type=int, default=24)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=0.005)
+    ap.add_argument("--lr-drop-at", type=float, default=None,
+                    help="fraction of --steps at which LR drops 10x "
+                         "(reference MultiStepLR analog) — used by the "
+                         "convergence runs; default no drop")
     ap.add_argument("--save-checkpoint", type=str, default=None,
                     help="save trained variables (Orbax) here for the "
                          "predict CLI")
@@ -157,8 +161,12 @@ def main():
             raw_gts.append(b)
         return pts, nums, gts, masks, raw_gts
 
+    lr = args.lr
+    if args.lr_drop_at is not None:
+        lr = optax.piecewise_constant_schedule(
+            args.lr, {int(args.steps * args.lr_drop_at): 0.1})
     tx = optax.chain(optax.clip_by_global_norm(cfg.train.gradient_clip),
-                     optax.sgd(args.lr, momentum=0.9))
+                     optax.sgd(lr, momentum=0.9))
     state = create_train_state(cfg, tx, jax.random.key(0))
     step = make_train_step(cfg, tx, donate=True)
 

@@ -228,3 +228,26 @@ def test_i16q_upload_matches_f32(tiny_config, tiny_batch, tiny_state):
     # ~7%) while the loss stays within 1%
     assert float(m16["grad_norm"]) == pytest.approx(
         float(m32["grad_norm"]), rel=0.2)
+
+
+@pytest.mark.parametrize("remat", ["seams", "full"])
+def test_remat_matches_no_remat(tiny_config, tiny_batch, remat):
+    """train.remat recomputes the forward in backward — identical math,
+    so loss and grad_norm must match the default step to f32 rounding."""
+    from dataclasses import replace
+
+    from voxelnet_tpu.training import create_train_state
+
+    cfg32 = replace(tiny_config,
+                    train=replace(tiny_config.train,
+                                  compute_dtype="float32"))
+    cfg_rm = replace(cfg32, train=replace(cfg32.train, remat=remat))
+
+    tx = make_optimizer(cfg32, steps_per_epoch=10)
+    state = create_train_state(cfg32, tx, jax.random.key(0))
+    _, m0 = make_train_step(cfg32, tx, donate=False)(state, tiny_batch)
+    _, m1 = make_train_step(cfg_rm, tx, donate=False)(state, tiny_batch)
+
+    assert float(m1["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-5)
+    assert float(m1["grad_norm"]) == pytest.approx(
+        float(m0["grad_norm"]), rel=1e-4)

@@ -220,6 +220,20 @@ class TrainConfig:
     # more H2D transfers in flight on the thin tunnel link (i16q e2e
     # 22.9 f/s at depth 2 -> 25.1 at depth 3, BASELINE.md round 4)
     staging_depth: int = 3
+    # rematerialization of the train-step forward: 'none' keeps XLA's
+    # default residual saving; 'seams' wraps the model apply in
+    # jax.checkpoint saving ONLY the named seams (the (B,K,128) voxel
+    # table and the BEV map — models/voxelnet.py checkpoint_name calls),
+    # so the (B,10,400,352,128) dense grid and every conv intermediate
+    # are recomputed in backward instead of held in HBM; 'full' saves
+    # nothing. Measured on v5e (BASELINE.md round-5 remat ladder):
+    # default-graph training fits through B16 WITHOUT remat (36.6 f/s;
+    # B8 37.7 is the sweet spot), remat costs ~22% recompute, and B24
+    # OOMs under any policy (the dense grid + its gradient alone are
+    # ~17.2 GB in block-1's backward) — so 'none' is right for this
+    # model on this chip; the knob is the HBM escape hatch for
+    # deeper/wider variants or smaller-HBM parts.
+    remat: str = "none"
 
 
 @dataclass(frozen=True)

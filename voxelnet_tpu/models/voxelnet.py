@@ -26,6 +26,7 @@ from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,6 +107,9 @@ class VoxelNet(nn.Module):
             voxelwise = FeatureLearningNet(
                 dtype=self.dtype, bn_over_padding=self.bn_over_padding,
                 name="feature_net")(features, counts, train)
+        # remat seam (train.remat='seams'): the small (B, K, 128) table is
+        # a saved residual; the dense grid below is recomputed in backward
+        voxelwise = jax.ad_checkpoint.checkpoint_name(voxelwise, "voxelwise")
         folded = self.middle_backend == "folded2d"
         if self.middle_backend in ("sparse1", "sparsebwd"):
             # block 1 consumes the voxel table directly — the C=128 dense
@@ -150,6 +154,9 @@ class VoxelNet(nn.Module):
                            fold=not self.bev_dsplit,
                            fold_bn=self.fold_bn,
                            name="middle")(dense, train)
+        # second remat seam: RPN backward recomputes from here, middle
+        # backward recomputes scatter+convs from the voxelwise seam
+        bev = jax.ad_checkpoint.checkpoint_name(bev, "bev")
         if self.spatial_shard:
             from jax.sharding import PartitionSpec as P
 

@@ -140,11 +140,30 @@ def make_train_step(config: VoxelNetConfig,
             pos, neg, reg_t = _compute_target_maps(
                 config, batch["gt_boxes"], batch["gt_mask"])
 
-        def loss_fn(params):
-            (cls_logits, reg), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+        def apply_fn(params, batch_stats, features, coords, counts):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
                 features, coords, counts, train=True,
                 mutable=["batch_stats"])
+
+        if tcfg.remat == "seams":
+            # save only the named seams (models/voxelnet.py): the dense
+            # grid + conv intermediates are recomputed in backward
+            apply_fn = jax.checkpoint(
+                apply_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "voxelwise", "bev"))
+        elif tcfg.remat == "full":
+            apply_fn = jax.checkpoint(
+                apply_fn, policy=jax.checkpoint_policies.nothing_saveable)
+        elif tcfg.remat != "none":
+            raise ValueError(
+                f"train.remat={tcfg.remat!r} — expected 'none', 'seams' "
+                "or 'full'")
+
+        def loss_fn(params):
+            (cls_logits, reg), updates = apply_fn(
+                params, state.batch_stats, features, coords, counts)
             out = losses.rpn_loss(
                 cls_logits, reg, pos, neg, reg_t,
                 alpha=tcfg.alpha, beta=tcfg.beta, sigma=tcfg.sigma,
