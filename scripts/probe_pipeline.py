@@ -57,6 +57,11 @@ def main():
                          "the running step (default: the train config's "
                          "staging_depth, so probe numbers match the "
                          "trainer)")
+    ap.add_argument("--stage-thread", action="store_true",
+                    help="stage (host fetch + device_put) on a background "
+                         "thread instead of between steps on the main "
+                         "thread — overlaps the ~40 ms/batch client issue "
+                         "work with dispatch on the 1-core host")
     ap.add_argument("--decompose", action="store_true",
                     help="price the end-to-end residual to a floor "
                          "(VERDICT r04 #4): measure the three overlapped "
@@ -124,33 +129,62 @@ def main():
         it = iter(LazyBatchIterator(ds, args.batch, shuffle=True,
                                     seed=epoch, workers=workers,
                                     transform=transform))
+        import numpy as np
 
-        def stage_next():
-            b = next(it, None)
-            if b is None:
-                return None
-            import numpy as np
-
+        def stage(b):
             arrays = {k: v for k, v in b.items()
                       if isinstance(v, np.ndarray)}
             return {k: jax.device_put(v) for k, v in arrays.items()}
 
         nonlocal state
-        import collections
         t0 = time.perf_counter()
-        staged = collections.deque()
-        for _ in range(max(1, args.depth)):
-            b = stage_next()
-            if b is not None:
-                staged.append(b)
         n = 0
         metrics = None
-        while staged:
-            state, metrics = train_step(state, staged.popleft())
-            n += 1
-            b = stage_next()
-            if b is not None:
-                staged.append(b)
+        if args.stage_thread:
+            import queue
+            import threading
+
+            q = queue.Queue(maxsize=max(1, args.depth))
+            errs = []
+
+            def stager():
+                try:
+                    for b in it:
+                        q.put(stage(b))
+                except BaseException as e:  # surface in the main thread
+                    errs.append(e)
+                finally:
+                    q.put(None)
+
+            th = threading.Thread(target=stager, daemon=True)
+            th.start()
+            while True:
+                d = q.get()
+                if d is None:
+                    break
+                state, metrics = train_step(state, d)
+                n += 1
+            th.join()
+            if errs:
+                raise errs[0]
+        else:
+            import collections
+
+            def stage_next():
+                b = next(it, None)
+                return None if b is None else stage(b)
+
+            staged = collections.deque()
+            for _ in range(max(1, args.depth)):
+                b = stage_next()
+                if b is not None:
+                    staged.append(b)
+            while staged:
+                state, metrics = train_step(state, staged.popleft())
+                n += 1
+                b = stage_next()
+                if b is not None:
+                    staged.append(b)
         loss = float(metrics["loss"])  # the one real sync
         return time.perf_counter() - t0, n, loss
 
@@ -177,31 +211,8 @@ def main():
         host_s = (time.perf_counter() - t0) / nb
         bytes_per_batch = sum(v.nbytes for v in host_batches[0].values())
 
-        # --- component 2: H2D staging alone. One value fetch costs a
-        # 30-60 ms tunnel round trip (CLAUDE.md), so time K puts + 1
-        # fetch vs 1 put + 1 fetch and difference out the sync ---
-        import jax.numpy as jnp
-
-        @jax.jit
-        def touch(batch):
-            return sum(jnp.ravel(v)[0].astype(jnp.float32)
-                       for v in batch.values())
-
-        def puts(k):
-            t0 = time.perf_counter()
-            last = None
-            for i in range(k):
-                last = {kk: jax.device_put(vv)
-                        for kk, vv in host_batches[i % len(host_batches)
-                                                   ].items()}
-            float(touch(last))
-            return time.perf_counter() - t0
-        puts(2)  # compile touch + warm the path
-        t_many, t_one = puts(24), puts(1)
-        h2d_s = max(t_many - t_one, 1e-9) / 23
-
-        # --- component 3: device step alone (pre-staged buffers,
-        # chained, one fetch) ---
+        # --- component 2: device step alone (pre-staged buffers,
+        # chained, ONE final fetch) — the device-side ceiling ---
         staged = [{k: jax.device_put(v) for k, v in hb.items()}
                   for hb in host_batches]
         nsteps = 24
@@ -212,18 +223,69 @@ def main():
             st, m = train_step(st, staged[i % len(staged)])
         float(m["loss"])
         dev_s = (time.perf_counter() - t0) / nsteps
+        state = st  # the step donates its input state — keep the live one
 
-        floor_s = max(host_s, h2d_s, dev_s)
+        # --- component 3: an INSTRUMENTED production epoch. Everything
+        # is async on this backend (CLAUDE.md), so client wall time
+        # decomposes into blocking host-iterator waits, device_put issue
+        # time, step dispatch time, and the single tail sync; the
+        # device-side residual is wall - n*dev_s. ---
+        ds.set_epoch(101)
+        it = iter(LazyBatchIterator(ds, args.batch, shuffle=True,
+                                    seed=101, workers=workers,
+                                    transform=transform))
+        t_next = t_put = t_disp = 0.0
+
+        def stage_timed():
+            nonlocal t_next, t_put
+            t0 = time.perf_counter()
+            b = next(it, None)
+            t_next += time.perf_counter() - t0
+            if b is None:
+                return None
+            arrays = {k: v for k, v in b.items()
+                      if isinstance(v, np.ndarray)}
+            t0 = time.perf_counter()
+            out = {k: jax.device_put(v) for k, v in arrays.items()}
+            t_put += time.perf_counter() - t0
+            return out
+
+        import collections
+        te0 = time.perf_counter()
+        q = collections.deque()
+        for _ in range(max(1, args.depth)):
+            b = stage_timed()
+            if b is not None:
+                q.append(b)
+        n = 0
+        m = None
+        while q:
+            t0 = time.perf_counter()
+            state, m = train_step(state, q.popleft())
+            t_disp += time.perf_counter() - t0
+            n += 1
+            b = stage_timed()
+            if b is not None:
+                q.append(b)
+        t0 = time.perf_counter()
+        float(m["loss"])
+        t_sync = time.perf_counter() - t0
+        wall = time.perf_counter() - te0
+
         print(json.dumps({
             "metric": "end-to-end residual decomposition (s/batch)",
             "batch": args.batch,
-            "host_pipeline": round(host_s, 4),
-            "h2d_staging": round(h2d_s, 4),
             "h2d_bytes_per_batch": int(bytes_per_batch),
-            "device_step": round(dev_s, 4),
-            "perfect_overlap_floor_fps": round(args.batch / floor_s, 2),
-            "sum_serial_fps": round(
-                args.batch / (host_s + h2d_s + dev_s), 2),
+            "host_pipeline_alone": round(host_s, 4),
+            "device_step_alone": round(dev_s, 4),
+            "epoch_wall_per_batch": round(wall / n, 4),
+            "client_iterator_wait": round(t_next / n, 4),
+            "client_device_put": round(t_put / n, 4),
+            "client_step_dispatch": round(t_disp / n, 4),
+            "tail_sync": round(t_sync, 4),
+            "device_residual_per_batch": round(wall / n - dev_s, 4),
+            "e2e_fps_this_epoch": round(n * args.batch / wall, 2),
+            "device_ceiling_fps": round(args.batch / dev_s, 2),
         }))
     fps = []
     for e in range(1, args.epochs + 1):

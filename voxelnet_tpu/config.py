@@ -220,6 +220,12 @@ class TrainConfig:
     # more H2D transfers in flight on the thin tunnel link (i16q e2e
     # 22.9 f/s at depth 2 -> 25.1 at depth 3, BASELINE.md round 4)
     staging_depth: int = 3
+    # stage (host-batch wait + device_put issue) on a background thread
+    # so the ~40 ms/batch of client work overlaps step dispatch
+    # (measured +4% e2e on the 1-core dev host, BASELINE.md round 5).
+    # Ignored multi-host: processes must interleave staging with their
+    # collective steps identically (trainer._staged_batches).
+    staging_thread: bool = True
     # rematerialization of the train-step forward: 'none' keeps XLA's
     # default residual saving; 'seams' wraps the model apply in
     # jax.checkpoint saving ONLY the named seams (the (B,K,128) voxel

@@ -251,6 +251,66 @@ class Trainer:
             return shard_batch(self.mesh, arrays)
         return arrays
 
+    def _staged_batches(self, it):
+        """Yield (host_batch, device_batch) with train.staging_depth
+        batches staged ahead of the running step.
+
+        Default (train.staging_thread): staging — the blocking host-batch
+        wait plus the device_put issue, ~40 ms/batch of client work on a
+        1-core host — runs on a background thread so it overlaps step
+        dispatch; measured +4% end-to-end (31.3 -> 32.6 f/s @B8,
+        scripts/probe_pipeline.py --stage-thread, BASELINE.md round 5).
+        device_put releases the GIL for the copy, so the overlap is real
+        even single-core. Multi-host keeps the synchronous path: every
+        process must interleave staging with its collective steps
+        identically, and the thread would make that timing race-prone.
+        """
+        cfg = self.config
+        depth = max(1, cfg.train.staging_depth)
+        if cfg.train.staging_thread and not self._multihost:
+            import queue
+            import threading
+
+            q = queue.Queue(maxsize=depth)
+            errs: list[BaseException] = []
+
+            def stager():
+                try:
+                    for b in it:
+                        q.put((b, self._device_batch(b)))
+                except BaseException as e:  # re-raised on the main thread
+                    errs.append(e)
+                finally:
+                    q.put(None)
+
+            th = threading.Thread(target=stager, daemon=True,
+                                  name="batch-staging")
+            th.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            th.join()
+            if errs:
+                raise errs[0]
+            return
+        staged = collections.deque()
+
+        def stage_next():
+            b = next(it, None)
+            return None if b is None else (b, self._device_batch(b))
+
+        for _ in range(depth):
+            nxt = stage_next()
+            if nxt is not None:
+                staged.append(nxt)
+        while staged:
+            yield staged.popleft()
+            nxt = stage_next()
+            if nxt is not None:
+                staged.append(nxt)
+
     def _fetch_rows(self, x) -> np.ndarray:
         """Batch-sharded device array -> THIS process's rows as numpy
         (all rows when single-process)."""
@@ -393,23 +453,8 @@ class Trainer:
                 transform=self.batch_transform,
                 process_shard=self._process_shard))
 
-            def stage_next():
-                b = next(it, None)
-                return None if b is None else (b, self._device_batch(b))
-
-            # staging depth (train.staging_depth, default 3): the next
-            # D batches are device_put while the device runs step i —
-            # jax dispatch is async, so transfers overlap compute and
-            # each other on the tunnel link (measured ladder in
-            # BASELINE.md round 4)
-            staged = collections.deque()
-            for _ in range(max(1, cfg.train.staging_depth)):
-                nxt = stage_next()
-                if nxt is not None:
-                    staged.append(nxt)
             i = -1
-            while staged:
-                batch, device_batch = staged.popleft()
+            for batch, device_batch in self._staged_batches(it):
                 i += 1
                 if profile_steps is not None:
                     if global_step == profile_steps[0] and not profiling:
@@ -424,9 +469,6 @@ class Trainer:
                     self.state, metrics = self.train_step(
                         self.state, device_batch)
                 global_step += 1
-                nxt = stage_next()
-                if nxt is not None:
-                    staged.append(nxt)
 
                 want_print = (i + 1) % print_interval == 0 and self._is_main
                 # gate on the writer: without one _log is a no-op, and the
