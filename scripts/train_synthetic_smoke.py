@@ -115,6 +115,14 @@ def main():
                     help="fraction of --steps at which LR drops 10x "
                          "(reference MultiStepLR analog) — used by the "
                          "convergence runs; default no drop")
+    ap.add_argument("--score-thres", type=float, default=0.5,
+                    help="inference score gate for the held-out eval "
+                         "(rpn.score_thres)")
+    ap.add_argument("--yaw-encoding", default="delta",
+                    choices=("delta", "sin"),
+                    help="train.yaw_encoding: 'sin' removes the pi "
+                         "ambiguity that caps AP on uniform-yaw scenes "
+                         "(ops/box_coding.py)")
     ap.add_argument("--save-checkpoint", type=str, default=None,
                     help="save trained variables (Orbax) here for the "
                          "predict CLI")
@@ -139,7 +147,8 @@ def main():
     cfg = get_config(
         args.class_name,
         data={"max_points": 16384, "max_voxels": 8192, "max_gt_boxes": 8},
-        rpn={"score_thres": 0.5},
+        rpn={"score_thres": args.score_thres},
+        train={"yaw_encoding": args.yaw_encoding},
     )
     rng = np.random.default_rng(0)
 

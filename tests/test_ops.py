@@ -53,6 +53,65 @@ def test_encode_decode_roundtrip():
     np.testing.assert_allclose(np.asarray(dec), boxes, atol=1e-5)
 
 
+def test_encode_decode_sin_yaw():
+    """yaw_mode='sin': roundtrip recovers yaw modulo the pi ambiguity,
+    and boxes at r vs r - pi (identical rectangles) encode to the SAME
+    target — the property that fixes the near-±pi/2 regression averaging
+    (train.yaw_encoding)."""
+    obj = get_config("Car").object
+    flat = jnp.asarray(anchor_ops.anchors_flat(obj)[:8])
+    rng = np.random.default_rng(0)
+    boxes = np.asarray(flat).copy()
+    boxes[:, 6] += rng.uniform(-0.4, 0.4, 8)
+    enc = box_coding.encode_boxes(jnp.asarray(boxes), flat, obj.anchor_h,
+                                  yaw_mode="sin")
+    dec = box_coding.decode_deltas(enc, flat, obj.anchor_h, yaw_mode="sin")
+    np.testing.assert_allclose(np.asarray(dec), boxes, atol=1e-5)
+
+    twisted = boxes.copy()
+    twisted[:, 6] -= np.pi  # same rectangle, flipped direction
+    enc2 = box_coding.encode_boxes(jnp.asarray(twisted), flat, obj.anchor_h,
+                                   yaw_mode="sin")
+    np.testing.assert_allclose(np.asarray(enc2[:, 6]),
+                               -np.asarray(enc[:, 6]), atol=1e-6)
+    # ...and near the boundary the two encodings nearly COINCIDE, where
+    # the raw delta differs by ~pi (the averaging failure mode)
+    near = np.asarray(flat).copy()
+    near[:, 6] = 1.5  # near +pi/2
+    mirror = near.copy()
+    mirror[:, 6] = 1.5 - np.pi  # ~-1.64 == same rectangle
+    e1 = box_coding.encode_boxes(jnp.asarray(near), flat, obj.anchor_h,
+                                 yaw_mode="sin")
+    e2 = box_coding.encode_boxes(jnp.asarray(mirror), flat, obj.anchor_h,
+                                 yaw_mode="sin")
+    np.testing.assert_allclose(np.asarray(e1[:, 6]), -np.asarray(e2[:, 6]),
+                               atol=1e-6)
+
+
+def test_assign_targets_sin_np_matches_jax(tiny_config=None):
+    """np/jax target-assignment twins agree in yaw_mode='sin' too."""
+    from voxelnet_tpu.ops import targets as T
+
+    obj = get_config(
+        "Car", object={"x_max": 12.8, "y_min": -6.4, "y_max": 6.4}).object
+    flat = anchor_ops.anchors_flat(obj)
+    standup = T.anchor_standup_np(obj)
+    gt = np.zeros((4, 7), np.float32)
+    gt[0] = [6.0, 0.0, -1.0, 1.56, 1.6, 3.9, 1.45]
+    gt[1] = [9.0, 3.0, -1.0, 1.56, 1.6, 3.9, -1.5]
+    mask = np.array([True, True, False, False])
+    kw = dict(pos_iou=obj.rpn_pos_iou, neg_iou=obj.rpn_neg_iou,
+              anchor_h=obj.anchor_h, yaw_mode="sin")
+    a = T.assign_targets(jnp.asarray(gt), jnp.asarray(mask),
+                         jnp.asarray(flat), jnp.asarray(standup), **kw)
+    pos, neg, reg = T.assign_targets_np(gt, mask, flat, standup, **kw)
+    np.testing.assert_allclose(np.asarray(a.pos_mask), pos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.neg_mask), neg, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.reg_targets), reg, atol=1e-4)
+    # every encoded yaw target is a sine — bounded
+    assert np.abs(reg[:, 6]).max() <= 1.0 + 1e-6
+
+
 def test_decode_map_layout():
     """(B, H', W', 14) map decode equals flat (B, A, 7) decode."""
     obj = get_config(

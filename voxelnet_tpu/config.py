@@ -220,6 +220,18 @@ class TrainConfig:
     # more H2D transfers in flight on the thin tunnel link (i16q e2e
     # 22.9 f/s at depth 2 -> 25.1 at depth 3, BASELINE.md round 4)
     staging_depth: int = 3
+    # yaw regression encoding: 'delta' (reference semantics, dr =
+    # gt_r - anchor_r, voxelnet/utils.py:487) or 'sin' (SECOND-style
+    # dr = sin(gt_r - anchor_r), decode r = anchor_r + arcsin(dr)).
+    # A BEV rectangle at r and r - pi is the same shape, so with raw
+    # deltas two visually identical boxes can carry targets differing
+    # by pi and the regressor learns their mean — boxes near the
+    # +-pi/2 boundary come out ~90 deg rotated (measured on the
+    # synthetic uniform-yaw scenes: 35/48 missed cars had |r| > 0.9,
+    # BASELINE.md round 5). 'sin' removes the ambiguity; rotated IoU /
+    # AP are pi-symmetric so only orientation-direction metrics (AOS)
+    # see the residual flip. Default 'delta' for reference parity.
+    yaw_encoding: str = "delta"
     # stage (host-batch wait + device_put issue) on a background thread
     # so the ~40 ms/batch of client work overlaps step dispatch
     # (measured +4% e2e on the 1-core dev host, BASELINE.md round 5).

@@ -575,7 +575,8 @@ def make_inference_fn(config: VoxelNetConfig, mesh=None,
 
         b = probs.shape[0]
         boxes = box_coding.decode_deltas(
-            reg.reshape(b, -1, 7), flat_anchors, obj.anchor_h)
+            reg.reshape(b, -1, 7), flat_anchors, obj.anchor_h,
+            yaw_mode=config.train.yaw_encoding)
         flat_probs = probs.reshape(b, -1)
 
         def one(bx, sc):

@@ -55,7 +55,8 @@ def gt_standup(gt_boxes: jnp.ndarray) -> jnp.ndarray:
 def assign_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
                    anchors: jnp.ndarray, anchors_standup: jnp.ndarray,
                    *, pos_iou: float, neg_iou: float, anchor_h: float,
-                   iou_plus_one: bool = False) -> TargetAssignment:
+                   iou_plus_one: bool = False,
+                   yaw_mode: str = "delta") -> TargetAssignment:
     """Assign padded GT boxes to anchors for one frame.
 
     Args:
@@ -92,7 +93,8 @@ def assign_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
     neg = (1.0 - any_high.astype(jnp.float32)) * (1.0 - pos)
 
     matched = gt_boxes[best_gt]                                # (A, 7)
-    deltas = box_coding.encode_boxes(matched, anchors, anchor_h)
+    deltas = box_coding.encode_boxes(matched, anchors, anchor_h,
+                                     yaw_mode=yaw_mode)
     reg_targets = deltas * pos[:, None]
     return TargetAssignment(pos, neg, reg_targets)
 
@@ -100,7 +102,7 @@ def assign_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
 def assign_targets_np(gt_boxes: np.ndarray, gt_mask: np.ndarray,
                       anchors: np.ndarray, anchors_standup: np.ndarray,
                       *, pos_iou: float, neg_iou: float, anchor_h: float,
-                      iou_plus_one: bool = False):
+                      iou_plus_one: bool = False, yaw_mode: str = "delta"):
     """NumPy twin of `assign_targets` for host-side precompute.
 
     Target assignment depends only on (gt_boxes, anchors) — not on params —
@@ -145,11 +147,16 @@ def assign_targets_np(gt_boxes: np.ndarray, gt_mask: np.ndarray,
 
     matched = gt_boxes[best_gt]                              # (A, 7)
     diag = np.sqrt(anchors[:, 4] ** 2 + anchors[:, 5] ** 2)
+    dr = matched[:, 6:7] - anchors[:, 6:7]
+    if yaw_mode == "sin":
+        dr = np.sin(dr)
+    elif yaw_mode != "delta":
+        raise ValueError(f"yaw_mode={yaw_mode!r}")
     deltas = np.concatenate([
         (matched[:, 0:2] - anchors[:, 0:2]) / diag[:, None],
         (matched[:, 2:3] - anchors[:, 2:3]) / anchor_h,
         np.log(np.maximum(matched[:, 3:6], 1e-6) / anchors[:, 3:6]),
-        matched[:, 6:7] - anchors[:, 6:7]], -1).astype(np.float32)
+        dr], -1).astype(np.float32)
     reg_targets = deltas * pos[:, None]
     return pos, neg, reg_targets
 
@@ -170,7 +177,8 @@ class TargetPrecomputer:
             obj, buggy=config.compat.buggy_anchor_standup), np.float32)
         self.kw = dict(pos_iou=obj.rpn_pos_iou, neg_iou=obj.rpn_neg_iou,
                        anchor_h=obj.anchor_h,
-                       iou_plus_one=config.compat.iou_plus_one)
+                       iou_plus_one=config.compat.iou_plus_one,
+                       yaw_mode=config.train.yaw_encoding)
         self.shape = (obj.feature_height, obj.feature_width)
 
     def __call__(self, batch: dict) -> dict:

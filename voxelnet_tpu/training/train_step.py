@@ -58,7 +58,8 @@ def _compute_target_maps(config: VoxelNetConfig, gt_boxes, gt_mask):
             gt_b, gt_m, flat_anchors, standup,
             pos_iou=obj.rpn_pos_iou, neg_iou=obj.rpn_neg_iou,
             anchor_h=obj.anchor_h,
-            iou_plus_one=config.compat.iou_plus_one)
+            iou_plus_one=config.compat.iou_plus_one,
+            yaw_mode=config.train.yaw_encoding)
         return targets_ops.targets_to_maps(
             assign, (obj.feature_height, obj.feature_width))
 

@@ -70,7 +70,8 @@ def make_decode_fn(config: VoxelNetConfig, mesh=None):
     def decode(probs, deltas):
         b = probs.shape[0]
         boxes = box_coding.decode_deltas(
-            deltas.reshape(b, -1, 7), flat_anchors, obj.anchor_h)
+            deltas.reshape(b, -1, 7), flat_anchors, obj.anchor_h,
+            yaw_mode=config.train.yaw_encoding)
         flat_probs = probs.reshape(b, -1)
         n_candidates = (flat_probs >= rpn_cfg.score_thres).sum(axis=-1)
 
