@@ -68,14 +68,15 @@ def test_encode_decode_sin_yaw():
     dec = box_coding.decode_deltas(enc, flat, obj.anchor_h, yaw_mode="sin")
     np.testing.assert_allclose(np.asarray(dec), boxes, atol=1e-5)
 
+    # a rectangle at r and r - pi is the SAME shape -> IDENTICAL target
+    # (this requires the wrap-then-sin form; plain sin flips the sign
+    # for residuals beyond +-pi/2 and decodes a mirrored rectangle)
     twisted = boxes.copy()
-    twisted[:, 6] -= np.pi  # same rectangle, flipped direction
+    twisted[:, 6] -= np.pi
     enc2 = box_coding.encode_boxes(jnp.asarray(twisted), flat, obj.anchor_h,
                                    yaw_mode="sin")
     np.testing.assert_allclose(np.asarray(enc2[:, 6]),
-                               -np.asarray(enc[:, 6]), atol=1e-6)
-    # ...and near the boundary the two encodings nearly COINCIDE, where
-    # the raw delta differs by ~pi (the averaging failure mode)
+                               np.asarray(enc[:, 6]), atol=1e-6)
     near = np.asarray(flat).copy()
     near[:, 6] = 1.5  # near +pi/2
     mirror = near.copy()
@@ -84,8 +85,15 @@ def test_encode_decode_sin_yaw():
                                  yaw_mode="sin")
     e2 = box_coding.encode_boxes(jnp.asarray(mirror), flat, obj.anchor_h,
                                  yaw_mode="sin")
-    np.testing.assert_allclose(np.asarray(e1[:, 6]), -np.asarray(e2[:, 6]),
+    np.testing.assert_allclose(np.asarray(e1[:, 6]), np.asarray(e2[:, 6]),
                                atol=1e-6)
+    # decode of the shared target recovers an IoU-equivalent rectangle
+    # for BOTH originals: yaw agrees with each modulo pi
+    d = box_coding.decode_deltas(e2, flat, obj.anchor_h, yaw_mode="sin")
+    dyaw = np.asarray(d[:, 6])
+    for ref in (near[:, 6], mirror[:, 6]):
+        wrapped = (dyaw - ref) - np.pi * np.round((dyaw - ref) / np.pi)
+        np.testing.assert_allclose(wrapped, 0.0, atol=1e-5)
 
 
 def test_assign_targets_sin_np_matches_jax(tiny_config=None):

@@ -149,6 +149,8 @@ def assign_targets_np(gt_boxes: np.ndarray, gt_mask: np.ndarray,
     diag = np.sqrt(anchors[:, 4] ** 2 + anchors[:, 5] ** 2)
     dr = matched[:, 6:7] - anchors[:, 6:7]
     if yaw_mode == "sin":
+        # wrap into [-pi/2, pi/2] modulo pi, then sin (see encode_boxes)
+        dr = dr - np.pi * np.round(dr / np.pi)
         dr = np.sin(dr)
     elif yaw_mode != "delta":
         raise ValueError(f"yaw_mode={yaw_mode!r}")
