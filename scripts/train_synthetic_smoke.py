@@ -56,8 +56,18 @@ _SCENES = {
 }
 
 
-def synth_frame(rng: np.random.Generator, max_boxes=5, class_name="Car"):
-    """One synthetic frame: (points (N, 4), gt lidar boxes (G, 7))."""
+def synth_frame(rng: np.random.Generator, max_boxes=5, class_name="Car",
+                yaw_limit=np.pi / 2):
+    """One synthetic frame: (points (N, 4), gt lidar boxes (G, 7)).
+
+    yaw_limit: box yaws are uniform in (-yaw_limit, yaw_limit). The full
+    +-pi/2 band exercises the known pi-ambiguity of the reference's raw
+    yaw-delta regression (a rectangle at r and r - pi is the same shape,
+    so near-boundary boxes carry bimodal targets and the regressor
+    averages ~90 deg off — measured: 35/48 missed cars at |r| > 0.9,
+    BASELINE.md round 5); convergence runs use a narrower band to
+    measure the detector inside the encoding's competence envelope.
+    """
     sc = _SCENES[class_name]
     n_boxes = rng.integers(1, max_boxes + 1)
     boxes = []
@@ -69,7 +79,7 @@ def synth_frame(rng: np.random.Generator, max_boxes=5, class_name="Car"):
             h = rng.uniform(*sc["h"])
             w = rng.uniform(*sc["w"])
             l = rng.uniform(*sc["l"])
-            r = rng.uniform(-np.pi / 2, np.pi / 2)
+            r = rng.uniform(-yaw_limit, yaw_limit)
             if all((abs(x - b[0]) > sc["sep"][0])
                    or (abs(y - b[1]) > sc["sep"][1]) for b in boxes):
                 boxes.append([x, y, z, h, w, l, r])
@@ -123,6 +133,13 @@ def main():
                     help="train.yaw_encoding: 'sin' removes the pi "
                          "ambiguity that caps AP on uniform-yaw scenes "
                          "(ops/box_coding.py)")
+    ap.add_argument("--yaw-limit", type=float, default=np.pi / 2,
+                    help="scene yaw band (see synth_frame)")
+    ap.add_argument("--fresh-frames", action="store_true",
+                    help="generate a FRESH batch every step (infinite "
+                         "data) instead of cycling --frames fixed ones — "
+                         "kills the memorized-clutter ghost detections "
+                         "the fixed-set convergence runs measured")
     ap.add_argument("--save-checkpoint", type=str, default=None,
                     help="save trained variables (Orbax) here for the "
                          "predict CLI")
@@ -159,7 +176,8 @@ def main():
         masks = np.zeros((n, cfg.data.max_gt_boxes), bool)
         raw_gts = []
         for i in range(n):
-            p, b = synth_frame(rng, class_name=args.class_name)
+            p, b = synth_frame(rng, class_name=args.class_name,
+                               yaw_limit=args.yaw_limit)
             p = p[rng.permutation(len(p))]
             m = min(len(p), cfg.data.max_points)
             pts[i, :m] = p[:m]
@@ -180,16 +198,25 @@ def main():
     step = make_train_step(cfg, tx, donate=True)
 
     train_batches = []
-    for _ in range(args.frames // args.batch):
+    if not args.fresh_frames:
+        for _ in range(args.frames // args.batch):
+            p, n, g, m, _ = make_batch(args.batch)
+            train_batches.append({
+                "points": jax.device_put(p),
+                "num_points": jax.device_put(n),
+                "gt_boxes": jax.device_put(g), "gt_mask": jax.device_put(m)})
+
+    def next_batch(it):
+        if not args.fresh_frames:
+            return train_batches[it % len(train_batches)]
         p, n, g, m, _ = make_batch(args.batch)
-        train_batches.append({
-            "points": jax.device_put(p), "num_points": jax.device_put(n),
-            "gt_boxes": jax.device_put(g), "gt_mask": jax.device_put(m)})
+        return {"points": jax.device_put(p), "num_points": jax.device_put(n),
+                "gt_boxes": jax.device_put(g), "gt_mask": jax.device_put(m)}
 
     t0 = time.time()
     losses = []
     for it in range(args.steps):
-        state, metrics = step(state, train_batches[it % len(train_batches)])
+        state, metrics = step(state, next_batch(it))
         if (it + 1) % 50 == 0:
             loss = float(metrics["loss"])
             losses.append(loss)
